@@ -1,0 +1,266 @@
+"""Frozen configuration tree for the TPU-native SeTok / Setokim rebuild.
+
+Parity: /root/reference/src/train/training_utils.py:6-141 defines 8 flat
+HfArgumentParser dataclass groups whose values are partially mutated after
+parsing (e.g. train_setokim.py:360-365 hard-codes generator dims). Here the
+same knobs live in one immutable tree; model code receives sub-configs and
+never mutates them, so a config hash keys a single XLA compilation.
+
+TPU-first deviations from the reference (documented per SURVEY.md §7):
+  * `k_max` — clustering emits a fixed-size (k_max, D) token tensor plus a
+    validity mask instead of a variable number of tokens, so the whole
+    encode→cluster→decode graph is static-shaped under jit.
+  * `param_dtype` / `compute_dtype` — explicit mixed-precision policy
+    (bf16 activations on MXU, fp32 params/optimizer) instead of the
+    reference's scattered fp16/bf16/tf32 flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """SigLIP-style ViT feature extractor (frozen backbone).
+
+    Parity: /root/reference/src/model/setok/clip_encoder.py:8-93 wraps a HF
+    AutoModel ('google/siglip-so400m-patch14-384'); here the ViT is native.
+    """
+
+    image_size: int = 256
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    # Which hidden layer to tap features from (-1 = last, -2 = penultimate),
+    # mirroring mm_vision_select_layer (training_utils.py:25).
+    select_layer: int = -1
+    # 'patch' drops any class token; SigLIP has none, so this is a no-op kept
+    # for config parity (clip_encoder.py:40-48).
+    select_feature: str = "patch"
+    use_class_token: bool = False
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    """SetokTokenizer: features → DPC-KNN clusters → concept tokens.
+
+    Parity: /root/reference/src/model/setok/tokenizer.py:14-33 defaults
+    (hidden_dim, token_feat_dim, min_cluster_num, threshold=0.55 per
+    training_utils.py:30, nheads, dim_feedforward, inner/intra layers).
+    """
+
+    vit: ViTConfig = field(default_factory=ViTConfig)
+    hidden_dim: int = 768          # must equal vit.width (ref adds pos-emb in place)
+    token_feat_dim: int = 768
+    min_cluster_num: int = 64
+    threshold: float = 0.55
+    nheads: int = 2
+    dim_feedforward: int = 3072
+    inner_cluster_layers: int = 2
+    intra_cluster_layers: int = 2
+    proj_drop: float = 0.2
+    attn_drop: float = 0.0
+    # TPU recast: static upper bound on cluster count. COCO caps segments at
+    # 74 (pairDataset.py:136), so 80 is a safe envelope; tests shrink it.
+    k_max: int = 80
+    # k for the k-NN density estimate (ref reuses min_cluster_num as k,
+    # tokenizer.py:172).
+    knn: int = 64
+
+
+@dataclass(frozen=True)
+class DetokenizerConfig:
+    """SetokDeTokenizer: concept tokens → Q-Former mapper → pixel decoder.
+
+    Parity: /root/reference/src/model/setok/detokenizer.py:15-31 plus the
+    explicit pixel head the reference forward omits (detokenizer.py:117-123
+    ends without projecting to pixels or returning; we add
+    Linear(decoder_embed_dim → patch²·3) + unpatchify per the MAR lineage,
+    cf. setokim_llama.py:194-204 unpatchify).
+    """
+
+    token_feat_dim: int = 768
+    hidden_dim: int = 768          # Q-Former width (ref hard-codes 768 at train_setokim.py:360-365)
+    patch_size: int = 16
+    image_size: int = 256
+    decoder_embed_dim: int = 768
+    decoder_nheads: int = 16
+    decoder_depth: int = 16
+    mlp_ratio: float = 4.0
+    # Q-Former mapper (BLIP-2 lineage, module.py:728-1013): self-attn over
+    # queries, cross-attn to tokens every `cross_attention_freq` layers,
+    # query-only FFN (the reference strips the text FFN, detokenizer.py:94-96).
+    mapper_layers: int = 6
+    mapper_heads: int = 12
+    cross_attention_freq: int = 2
+    initializer_range: float = 0.02
+    proj_drop: float = 0.2
+    attn_drop: float = 0.2
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_mask_tokens(self) -> int:
+        return self.grid * self.grid
+
+
+@dataclass(frozen=True)
+class GANLossConfig:
+    """Parity: training_utils.py:66-70 + discriminator.py:31-57."""
+
+    disc_in_channels: int = 3
+    disc_num_layers: int = 2
+    disc_start: int = 5000
+    warm_up_end: int = 200
+    disc_loss: str = "hinge"
+    use_adaptive_weight: bool = True
+    weight: float = 1.0
+    factor: float = 1.0
+
+
+@dataclass(frozen=True)
+class ContrastiveLossConfig:
+    """Parity: training_utils.py:72-78 + multilabel_constrastive.py:27-51."""
+
+    contrast_temperature: float = 0.07
+    multi_label: int = 0
+    share_temperature: bool = False
+    multi_label_loss_weight: float = 1.0
+    text_embed_dim: int = 768
+
+
+@dataclass(frozen=True)
+class DiffLossConfig:
+    """MAR diffusion head. Parity: training_utils.py:80-87 + diffloss.py:9-24."""
+
+    target_channels: int = 768      # detokenizer token dim being denoised
+    z_channels: int = 768           # conditioning width (LLM hidden)
+    width: int = 1024               # diffloss_w... reference w=3 is depth; see note
+    depth: int = 3                  # SimpleMLPAdaLN res blocks (diffloss_w=3)
+    num_sampling_steps: str = "100"
+    diffusion_batch_mul: int = 4
+    mask_ratio_min: float = 0.7
+    grad_checkpointing: bool = False
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """LLaMA trunk for Setokim. Defaults are a test-scale model; `vicuna_7b`
+    preset matches the reference target (scripts/finetune.sh)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_embeddings: bool = False
+
+
+@dataclass(frozen=True)
+class SetokimConfig:
+    """Full MLLM: LLaMA trunk + SeTok tokenizer/detokenizer + projectors +
+    diffusion head. Parity: setokim_arch.py:30-183 module inventory."""
+
+    llama: LlamaConfig = field(default_factory=LlamaConfig)
+    tokenizer: TokenizerConfig = field(default_factory=TokenizerConfig)
+    detokenizer: DetokenizerConfig = field(default_factory=DetokenizerConfig)
+    diffloss: DiffLossConfig = field(default_factory=DiffLossConfig)
+    mm_in_projector_type: str = "mlp2x_gelu"
+    mm_out_projector_type: str = "mlp2x_gelu"
+    mm_use_im_start_end: bool = True
+    # number of <target> placeholder tokens a generation span expands to
+    # (base_dataset.py:123-127 expands <target> to target_num copies).
+    target_num: int = 64
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes. data = DP/FSDP shards, model = TP shards."""
+
+    data: int = 1
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    disc_learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    beta1: float = 0.9
+    beta2: float = 0.999
+    warmup_steps: int = 100
+    total_steps: int = 10000
+    batch_size: int = 24
+    seed: int = 0
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    remat: bool = True
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    contrastive_weight: float = 1.0
+    rec_l1_weight: float = 1.0
+    lpips_weight: float = 1.0
+
+
+# ----------------------------------------------------------------------------
+# Presets
+
+
+def tiny_tokenizer(image_size: int = 32, patch_size: int = 8) -> TokenizerConfig:
+    """Small config for unit tests (runs on CPU in seconds)."""
+    vit = ViTConfig(image_size=image_size, patch_size=patch_size, width=32,
+                    depth=2, num_heads=2)
+    return TokenizerConfig(vit=vit, hidden_dim=32, token_feat_dim=32,
+                           min_cluster_num=4, threshold=0.55, nheads=2,
+                           dim_feedforward=64, k_max=8, knn=4)
+
+
+def tiny_detokenizer(image_size: int = 32, patch_size: int = 8) -> DetokenizerConfig:
+    return DetokenizerConfig(token_feat_dim=32, hidden_dim=32,
+                             patch_size=patch_size, image_size=image_size,
+                             decoder_embed_dim=32, decoder_nheads=2,
+                             decoder_depth=2, mapper_layers=2, mapper_heads=2)
+
+
+def base_tokenizer() -> TokenizerConfig:
+    """Bench flagship: ViT-B/16 @256 encoder (BASELINE.json config 1)."""
+    return TokenizerConfig()
+
+
+def base_detokenizer() -> DetokenizerConfig:
+    return DetokenizerConfig()
+
+
+def tiny_llama() -> LlamaConfig:
+    return LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                       num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+                       max_seq_len=256)
+
+
+def vicuna_7b() -> LlamaConfig:
+    return LlamaConfig()
+
+
+def replace(cfg, **kw):
+    """Functional config update (configs are frozen)."""
+    return dataclasses.replace(cfg, **kw)

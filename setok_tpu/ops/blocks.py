@@ -1,0 +1,215 @@
+"""Core transformer building blocks (flax.linen), mask-aware.
+
+Parity: /root/reference/src/model/setok/module.py:29-101 — `Mlp` (29-45),
+`Attention` (48-73), `Block` (76-100). Two deliberate TPU-first deviations:
+
+  * Every attention takes an optional boolean mask. The reference runs a
+    Python loop over ragged per-cluster slices (tokenizer.py:147-152); the
+    rebuild expresses the same computation as one masked attention over all
+    tokens (block-diagonal same-cluster mask), which is mathematically
+    identical and MXU-friendly (SURVEY.md §7 decision 2).
+  * Softmax runs in fp32 regardless of compute dtype (bf16-safe).
+
+Quirk preserved: the reference `Block` builds `depth` attention sub-layers
+that all *share one* `norm1` module instance (module.py:87-91), so the
+pre-attention LayerNorm parameters are shared across sub-layers. We replicate
+that by declaring `norm1` once and reusing it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = jnp.dtype
+
+NEG_INF = -1e30
+
+
+def mask_to_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32) -> Optional[jnp.ndarray]:
+    """Boolean attention mask (True = attend) → additive bias."""
+    if mask is None:
+        return None
+    return jnp.where(mask, 0.0, NEG_INF).astype(dtype)
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP with GELU. Parity: module.py:29-45."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    act: Callable = nn.gelu
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(out_features, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional boolean mask.
+
+    Parity: module.py:48-73 (fused qkv projection, scale = head_dim^-0.5).
+    `mask` broadcasts against (B, H, N, N); True means "may attend".
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, *,
+                 deterministic: bool = True):
+        *batch, n, c = x.shape
+        head_dim = c // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="qkv")(x)
+        qkv = qkv.reshape(*batch, n, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, -3, 0)          # each (*batch, n, H, hd)
+
+        attn = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
+        attn = attn.astype(jnp.float32)
+        if mask is not None:
+            if mask.ndim == attn.ndim - 1:          # (..., N, N) → add head dim
+                mask = mask[..., None, :, :]
+            attn = jnp.where(mask, attn, NEG_INF)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("...hqk,...khd->...qhd", attn, v).reshape(*batch, n, c)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention: queries attend to a context sequence.
+
+    Used by the Q-Former mapper (module.py:209-285 BertSelfAttention with
+    `is_cross_attention`). `context_mask` is (B, M) boolean over context keys.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, context_mask: Optional[jnp.ndarray] = None,
+                 *, deterministic: bool = True):
+        *batch, n, c = x.shape
+        m = context.shape[-2]
+        head_dim = c // self.num_heads
+        scale = head_dim ** -0.5
+
+        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="q")(x)
+        kv = nn.Dense(c * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="kv")(context)
+        q = q.reshape(*batch, n, self.num_heads, head_dim)
+        kv = kv.reshape(*batch, m, 2, self.num_heads, head_dim)
+        k, v = jnp.moveaxis(kv, -3, 0)
+
+        attn = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
+        attn = attn.astype(jnp.float32)
+        if context_mask is not None:
+            attn = jnp.where(context_mask[..., None, None, :], attn, NEG_INF)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("...hqk,...khd->...qhd", attn, v).reshape(*batch, n, c)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """SeTok transformer block: `depth` attention sub-layers sharing one
+    pre-norm, then a single MLP sub-layer. Parity: module.py:76-100.
+    """
+
+    num_heads: int
+    mlp_hidden_dim: int
+    depth: int = 1
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, *,
+                 deterministic: bool = True):
+        # One shared pre-attention norm (reference shares the instance).
+        norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="norm1")
+        for i in range(self.depth):
+            attn = Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+                             proj_drop=self.proj_drop, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"attn_{i}")
+            x = x + attn(norm1(x), mask=mask, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm2")(x)
+        x = x + Mlp(hidden_features=self.mlp_hidden_dim, drop=self.proj_drop,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="mlp")(y, deterministic=deterministic)
+        return x
+
+
+class ViTBlock(nn.Module):
+    """Standard pre-norm ViT block (timm-style), used by the pixel decoder.
+
+    Parity: timm.models.vision_transformer.Block as instantiated at
+    detokenizer.py:49-51.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, *,
+                 deterministic: bool = True):
+        c = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm1")(x)
+        x = x + Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                          attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="attn")(y, mask=mask, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm2")(x)
+        x = x + Mlp(hidden_features=int(c * self.mlp_ratio),
+                    drop=self.proj_drop, dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="mlp")(y, deterministic=deterministic)
+        return x

@@ -1,0 +1,31 @@
+"""Test harness: force an 8-device virtual CPU platform before jax imports.
+
+The reference has no tests (SURVEY.md §4); this harness is the rebuild's
+substitute for real multi-chip runs — mesh/sharding tests execute on 8
+virtual CPU devices exactly as they would over ICI.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# The hosted-TPU plugin (sitecustomize) force-selects its platform regardless
+# of JAX_PLATFORMS in the env; override after import, before first use.
+jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture()
+def rng():
+    return jax.random.PRNGKey(0)
