@@ -1,0 +1,101 @@
+"""SigLIP-style ViT patch-feature extractor (native flax, no HF dependency).
+
+Parity: /root/reference/src/model/setok/clip_encoder.py:8-93 wraps
+`transformers.AutoModel` around 'google/siglip-so400m-patch14-384', taps
+`hidden_states[select_layer]` and optionally drops a class token
+(feature_select, lines 40-48). The rebuild implements the same ViT shape
+natively so the whole encode path lives in one jit graph; HF weights port in
+via scripts/port_weights.py (state-dict → pytree path mapping).
+
+The backbone is frozen in the reference (`@torch.no_grad()` forward,
+requires_grad_(False), clip_encoder.py:36,50). Here freezing is the training
+loop's choice: pass the ViT params in a non-trainable collection or wrap
+features in `jax.lax.stop_gradient` (the tokenizer does the latter when
+`freeze_backbone`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from setok_tpu.config import ViTConfig
+from setok_tpu.ops.blocks import Attention, Mlp
+
+
+class ViTEncoderBlock(nn.Module):
+    """Standard pre-norm ViT encoder block (SigLIP layout)."""
+
+    num_heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm1")(x)
+        x = x + Attention(num_heads=self.num_heads, qkv_bias=True,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="attn")(y, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm2")(x)
+        x = x + Mlp(hidden_features=int(c * self.mlp_ratio), dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="mlp")(y, deterministic=deterministic)
+        return x
+
+
+class ViT(nn.Module):
+    """Patch-embedding ViT returning per-patch features from a chosen layer.
+
+    Input:  (B, H, W, 3) images (NHWC — TPU-native layout).
+    Output: (B, N, width) patch features, N = (H/patch)².
+    """
+
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, *, deterministic: bool = True,
+                 select_layer: Optional[int] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        sel = select_layer if select_layer is not None else cfg.select_layer
+
+        x = nn.Conv(cfg.width, kernel_size=(cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="patch_embed")(images.astype(self.dtype))
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, cfg.num_patches, cfg.width), self.param_dtype)
+        x = x + pos.astype(self.dtype)
+
+        if cfg.use_class_token:
+            cls = self.param("cls_token", nn.initializers.normal(0.02),
+                             (1, 1, cfg.width), self.param_dtype)
+            x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype),
+                                                  (b, 1, c)), x], axis=1)
+
+        # hidden_states convention mirrors HF: index -1 = output of the last
+        # block, -2 = penultimate, ... (clip_encoder.py:53-57 taps
+        # hidden_states[select_layer]).
+        taps = []
+        for i in range(cfg.depth):
+            x = ViTEncoderBlock(num_heads=cfg.num_heads,
+                                mlp_ratio=cfg.mlp_ratio, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name=f"block_{i}")(x, deterministic=deterministic)
+            taps.append(x)
+        feats = taps[sel]
+
+        if cfg.use_class_token and cfg.select_feature == "patch":
+            # drop class token (clip_encoder.py:43-44)
+            feats = feats[:, 1:, :]
+        return feats

@@ -1,0 +1,177 @@
+"""Loss layer tests: GAN pieces, MSE, contrastive, LPIPS, DiffLoss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from setok_tpu import config as cfgs
+from setok_tpu.losses import (ContrastiveLoss, DiffLoss, LPIPS,
+                              NLayerDiscriminator, adaptive_weight,
+                              adopt_weight, discriminator_loss,
+                              generator_loss, hinge_d_loss, l1_loss,
+                              vanilla_d_loss, weighted_mse_loss)
+from setok_tpu.config import ContrastiveLossConfig, GANLossConfig
+
+
+def test_weighted_mse_matches_reference_semantics():
+    rs = np.random.RandomState(0)
+    pred = rs.randn(2, 8, 8, 3).astype(np.float32)
+    tgt = rs.randn(2, 8, 8, 3).astype(np.float32)
+    got = float(weighted_mse_loss(jnp.asarray(pred), jnp.asarray(tgt)))
+    want = (((pred - tgt) ** 2).mean(axis=(1, 2, 3))).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # masked variant: mask over the last two axes, denominator = area + 1
+    mask = np.zeros((2, 8, 8, 3), np.float32)
+    mask[:, :4] = 1
+    got = float(weighted_mse_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                                  jnp.asarray(mask)))
+    err = ((pred - tgt) ** 2) * mask
+    want = (err.sum(axis=(-2, -1)) / (mask.sum(axis=(-2, -1)) + 1)).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gan_d_losses():
+    real = jnp.asarray([2.0, 0.5])
+    fake = jnp.asarray([-2.0, 0.5])
+    # hinge: 0.5*(mean(relu(1-real)) + mean(relu(1+fake)))
+    want = 0.5 * ((0.0 + 0.5) / 2 + (0.0 + 1.5) / 2)
+    np.testing.assert_allclose(float(hinge_d_loss(real, fake)), want, rtol=1e-6)
+    v = float(vanilla_d_loss(real, fake))
+    assert v > 0
+    assert float(generator_loss(fake)) == -float(jnp.mean(fake))
+
+
+def test_adopt_weight_schedule():
+    # parity: discriminator.py:12-17 (0 before start, ramp to warm_up_end)
+    w = lambda s: float(adopt_weight(1.0, jnp.asarray(s), threshold=100,
+                                     warm_up_end=200))
+    assert w(50) == 0.0
+    assert abs(w(150) - 0.5) < 1e-6
+    assert w(300) == 1.0
+
+
+def test_adaptive_weight_ratio():
+    g1 = {"k": jnp.asarray([3.0, 4.0])}     # norm 5
+    g2 = {"k": jnp.asarray([0.0, 2.0])}     # norm 2
+    w = float(adaptive_weight(g1, g2))
+    np.testing.assert_allclose(w, 5.0 / (2.0 + 1e-4), rtol=1e-5)
+
+
+def test_discriminator_shapes_and_loss():
+    disc = NLayerDiscriminator(n_layers=2, ndf=8)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = disc.init(jax.random.PRNGKey(0), x)
+    logits = disc.apply(params, x)
+    assert logits.shape[0] == 2 and logits.shape[-1] == 1
+    loss = discriminator_loss(logits, logits, jnp.asarray(10000),
+                              GANLossConfig())
+    assert np.isfinite(float(loss))
+
+
+def test_contrastive_local():
+    cfg = ContrastiveLossConfig()
+    loss_mod = ContrastiveLoss(cfg)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(4, 16).astype(np.float32))
+    txt = jnp.asarray(rs.randn(4, 16).astype(np.float32))
+    params = loss_mod.init(jax.random.PRNGKey(0), img, txt)
+    loss, metrics = loss_mod.apply(params, img, txt)
+    assert np.isfinite(float(loss))
+    # perfectly aligned embeddings → lower loss than random
+    loss_aligned, _ = loss_mod.apply(params, img, img)
+    assert float(loss_aligned) < float(loss)
+
+
+def test_contrastive_allgather_matches_single_device():
+    """8-way data-parallel gather == single-device big batch."""
+    cfg = ContrastiveLossConfig()
+    loss_mod = ContrastiveLoss(cfg)
+    rs = np.random.RandomState(1)
+    img = jnp.asarray(rs.randn(16, 8).astype(np.float32))
+    txt = jnp.asarray(rs.randn(16, 8).astype(np.float32))
+    params = loss_mod.init(jax.random.PRNGKey(0), img, txt)
+
+    local, _ = loss_mod.apply(params, img, txt)
+
+    import jax.sharding as jsh
+    from jax import shard_map
+    mesh = jax.make_mesh((8,), ("data",))
+    spec = jsh.PartitionSpec("data")
+
+    @jax.jit
+    def dist_loss(img, txt):
+        def shard_fn(i, t):
+            loss, _ = loss_mod.apply(params, i, t, axis_name="data")
+            return jax.lax.pmean(loss, "data")
+        return shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=jsh.PartitionSpec())(img, txt)
+
+    got = float(dist_loss(img, txt))
+    np.testing.assert_allclose(got, float(local), rtol=1e-5)
+
+
+def test_contrastive_gather_is_differentiable():
+    cfg = ContrastiveLossConfig()
+    loss_mod = ContrastiveLoss(cfg)
+    rs = np.random.RandomState(2)
+    img = jnp.asarray(rs.randn(8, 8).astype(np.float32))
+    txt = jnp.asarray(rs.randn(8, 8).astype(np.float32))
+    params = loss_mod.init(jax.random.PRNGKey(0), img, txt)
+
+    import jax.sharding as jsh
+    from jax import shard_map
+    mesh = jax.make_mesh((8,), ("data",))
+    spec = jsh.PartitionSpec("data")
+
+    @jax.jit
+    def grad_fn(img, txt):
+        def loss_of(i):
+            def shard_fn(ii, tt):
+                loss, _ = loss_mod.apply(params, ii, tt, axis_name="data")
+                return jax.lax.pmean(loss, "data")
+            return shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec),
+                             out_specs=jsh.PartitionSpec())(i, txt)
+        return jax.grad(loss_of)(img)
+
+    g = np.asarray(grad_fn(img, txt))
+    assert np.abs(g).max() > 0          # gradients flow through the gather
+    assert np.isfinite(g).all()
+
+
+def test_lpips_structure():
+    lp = LPIPS()
+    x = jnp.zeros((1, 32, 32, 3))
+    y = jnp.ones((1, 32, 32, 3)) * 0.5
+    params = lp.init(jax.random.PRNGKey(0), x, y)
+    d_same = float(lp.apply(params, x, x))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    # random-init lin heads can have either sign; identical inputs must be 0
+    assert np.isfinite(float(lp.apply(params, x, y)))
+    # vgg conv count = 13
+    assert len(params["params"]["vgg"]) == 13
+
+
+def test_diffloss_train_and_sample():
+    cfg = cfgs.DiffLossConfig(target_channels=8, z_channels=8, width=32,
+                              depth=2, num_sampling_steps="5")
+    dl = DiffLoss(cfg)
+    rs = np.random.RandomState(0)
+    target = jnp.asarray(rs.randn(6, 8).astype(np.float32))
+    z = jnp.asarray(rs.randn(6, 8).astype(np.float32))
+    params = dl.init(jax.random.PRNGKey(0), target, z,
+                     jax.random.PRNGKey(1))
+    loss = dl.apply(params, target, z, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    mask = jnp.asarray([1, 1, 1, 0, 0, 0], jnp.float32)
+    loss_m = dl.apply(params, target, z, jax.random.PRNGKey(2), mask)
+    assert np.isfinite(float(loss_m))
+
+    sample = dl.apply(params, z, jax.random.PRNGKey(3), 1.0, 1.0,
+                      method=dl.sample)
+    assert sample.shape == (6, 8)
+    # CFG path: duplicated batch [cond; uncond]
+    z2 = jnp.concatenate([z, jnp.zeros_like(z)], axis=0)
+    s_cfg = dl.apply(params, z2, jax.random.PRNGKey(4), 1.0, 2.0,
+                     method=dl.sample)
+    assert s_cfg.shape == (12, 8)
