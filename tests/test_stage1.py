@@ -1,0 +1,92 @@
+"""Stage-1 trainer tests: learning signal, GAN pieces, mesh-sharded parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from setok_tpu import config as cfgs
+from setok_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+from setok_tpu.parallel.sharding import fsdp_shardings, fsdp_spec
+from setok_tpu.train.stage1 import Stage1State, Stage1Trainer, psnr
+
+
+def make_batch(b=8, size=32, seed=0):
+    rs = np.random.RandomState(seed)
+    img = rs.rand(b, size, size, 3).astype(np.float32) * 2 - 1
+    return {"comp_image": jnp.asarray(img), "gen_image": jnp.asarray(img),
+            "text_emb": jnp.asarray(rs.randn(b, 32).astype(np.float32))}
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return Stage1Trainer(cfgs.tiny_tokenizer(), cfgs.tiny_detokenizer(),
+                         gan_cfg=cfgs.GANLossConfig(disc_start=0,
+                                                    warm_up_end=0),
+                         contrastive_cfg=cfgs.ContrastiveLossConfig(
+                             text_embed_dim=32))
+
+
+def test_psnr():
+    x = jnp.zeros((1, 8, 8, 3))
+    assert float(psnr(x, x)) > 90
+    assert float(psnr(x, x + 1.0)) == pytest.approx(
+        10 * np.log10(4.0), abs=1e-3)
+
+
+def test_train_step_learns(trainer):
+    batch = make_batch()
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(25):
+        rng, k = jax.random.split(rng)
+        state, metrics = trainer.train_step(state, batch, k)
+        if i == 0:
+            first = float(metrics["rec_loss"])
+    last = float(metrics["rec_loss"])
+    assert np.isfinite(last)
+    assert last < first, f"rec_loss did not improve: {first} -> {last}"
+    assert int(state.step) == 25
+    # metric surface matches the reference's loss-dict keys
+    for key in ["rec_loss", "g_loss", "d_loss", "d_weight", "logits_real",
+                "logits_fake", "contrastive_loss", "total_loss"]:
+        assert key in metrics
+
+
+def test_adaptive_weight_is_finite_and_positive(trainer):
+    batch = make_batch(seed=3)
+    state = trainer.create_state(jax.random.PRNGKey(2), batch)
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(3))
+    w = float(metrics["d_weight"])
+    assert np.isfinite(w) and 0 <= w <= 1e4
+
+
+def test_fsdp_spec_rule():
+    assert fsdp_spec((64, 1024), 8)[1] == "data"      # shard largest dim
+    assert fsdp_spec((7, 9), 8) == jax.sharding.PartitionSpec()  # too small
+    assert fsdp_spec((1024, 1024), 8)[0] == "data"
+
+
+def test_mesh_sharded_step_matches_single_device(trainer):
+    """GSPMD-sharded step (batch over 8 devices, FSDP params) must produce
+    the same numbers as the unsharded step — the collectives XLA inserts
+    (contrastive all-gather, grad reduce-scatter) are semantically invisible."""
+    batch = make_batch()
+    state1 = trainer.create_state(jax.random.PRNGKey(0), batch)
+    state2 = trainer.create_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(7)
+
+    _, m_single = trainer.train_step(state1, batch, rng)
+
+    mesh = make_mesh()
+    bs = data_sharding(mesh)
+    sharded_batch = jax.tree.map(lambda x: jax.device_put(x, bs), batch)
+    sharded_state = jax.tree.map(
+        jax.device_put, state2,
+        fsdp_shardings(state2, mesh))
+    _, m_sharded = trainer.train_step(sharded_state, sharded_batch, rng)
+
+    for k in ["total_loss", "rec_loss", "d_loss", "contrastive_loss"]:
+        np.testing.assert_allclose(float(m_single[k]), float(m_sharded[k]),
+                                   rtol=2e-3, atol=1e-4), k
