@@ -18,9 +18,11 @@ import jax.numpy as jnp
 from setok_tpu import config as cfgs
 from setok_tpu.models.setok import SeTok
 
+import sys
+
 BATCH = 32
-WARMUP = 3
-ITERS = 20
+ITERS_SMALL = 2
+ITERS_BIG = 22
 TARGET = 5000.0
 
 
@@ -30,31 +32,42 @@ def main():
     model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
-    images = jax.random.uniform(rng, (BATCH, tok_cfg.vit.image_size,
-                                      tok_cfg.vit.image_size, 3),
-                                jnp.float32, -1.0, 1.0)
-    params = model.init(rng, images[:1])
+    shape = (BATCH, tok_cfg.vit.image_size, tok_cfg.vit.image_size, 3)
+    params = model.init(rng, jax.random.uniform(rng, shape[:1] + shape[1:],
+                                                jnp.float32, -1.0, 1.0)[:1])
 
     def chained(params, images, iters):
-        """ITERS forwards chained through a data dependency inside one
-        dispatch — per-call async queueing through the device tunnel can't
-        fake the timing (each iteration consumes the previous recon)."""
+        """`iters` forwards chained through a data dependency inside ONE
+        dispatch, reduced to a scalar. Methodology notes (hosted-TPU tunnel):
+        identical dispatches are memoized and jax.block_until_ready does not
+        actually wait for remote execution — only a host readback does. So:
+        every run uses fresh data, completion is a float() readback, and the
+        per-batch time is the SLOPE between two scan lengths, cancelling the
+        constant dispatch+readback overhead."""
         def body(x, _):
             out = model.apply(params, x)
             nxt = images + 1e-6 * out.recon.astype(images.dtype)
-            return nxt, out.num_clusters
+            return nxt, jnp.sum(out.num_clusters)
         _, ncs = jax.lax.scan(body, images, None, length=iters)
-        return ncs
+        return jnp.sum(ncs)
 
     bench_fn = jax.jit(chained, static_argnums=2)
-    jax.block_until_ready(bench_fn(params, images, WARMUP))
 
-    t0 = time.perf_counter()
-    out = bench_fn(params, images, ITERS)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def timed(iters, seed):
+        imgs = jax.random.uniform(jax.random.PRNGKey(seed), shape,
+                                  jnp.float32, -1.0, 1.0)
+        t0 = time.perf_counter()
+        float(bench_fn(params, imgs, iters))       # readback = real barrier
+        return time.perf_counter() - t0
 
-    images_per_sec = BATCH * ITERS / dt
+    timed(ITERS_SMALL, 100)   # compile small
+    timed(ITERS_BIG, 101)     # compile big
+    t_small = min(timed(ITERS_SMALL, 1), timed(ITERS_SMALL, 2))
+    t_big = min(timed(ITERS_BIG, 3), timed(ITERS_BIG, 4))
+    dt = t_big - t_small
+    print(f"t_small={t_small:.3f}s t_big={t_big:.3f}s", file=sys.stderr)
+
+    images_per_sec = BATCH * (ITERS_BIG - ITERS_SMALL) / dt
     print(json.dumps({
         "metric": "setok_tokenizer_throughput_256px_encode_cluster_decode",
         "value": round(images_per_sec, 2),

@@ -261,6 +261,28 @@ def vicuna_7b() -> LlamaConfig:
     return LlamaConfig()
 
 
+def tiny_setokim() -> SetokimConfig:
+    tok = tiny_tokenizer()
+    det = tiny_detokenizer()
+    llama = tiny_llama()
+    diff = DiffLossConfig(target_channels=tok.token_feat_dim,
+                          z_channels=det.token_feat_dim, width=32, depth=1,
+                          num_sampling_steps="4", diffusion_batch_mul=2)
+    return SetokimConfig(llama=llama, tokenizer=tok, detokenizer=det,
+                         diffloss=diff, target_num=tok.k_max)
+
+
+def base_setokim() -> SetokimConfig:
+    """Flagship: Vicuna-7B trunk + ViT-B SeTok (scripts/finetune.sh shape)."""
+    tok = base_tokenizer()
+    det = base_detokenizer()
+    diff = DiffLossConfig(target_channels=tok.token_feat_dim,
+                          z_channels=det.token_feat_dim, width=1024, depth=3,
+                          num_sampling_steps="100")
+    return SetokimConfig(llama=vicuna_7b(), tokenizer=tok, detokenizer=det,
+                         diffloss=diff, target_num=tok.k_max)
+
+
 def replace(cfg, **kw):
     """Functional config update (configs are frozen)."""
     return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,273 @@
+"""LLaMA trunk (flax) — the Setokim language model backbone.
+
+Parity: the reference rides HF `transformers.LlamaModel/LlamaForCausalLM`
+(/root/reference/src/model/language_model/setokim_llama.py:24-57) with
+flash-attn monkey patches (src/train/llama_flash_attn_monkey_patch.py).
+The rebuild is a native implementation — RMSNorm, rotary embeddings, GQA
+attention, SwiGLU MLP — shaped for TPU:
+
+  * attention runs through one einsum path with an additive mask; padding
+    *inside* the sequence is supported (multimodal splicing leaves masked
+    holes — see setokim.py) by combining causal + validity masks and
+    cumsum-derived positions;
+  * a static-shape KV cache (B, max_len, kv_heads, head_dim) updated with
+    `lax.dynamic_update_slice` makes the decode loop a single compiled graph;
+  * tensor parallelism is a sharding rule on the param tree
+    (parallel/sharding.py llama_tp_rules), not a code path.
+
+Weights port from HF llama checkpoints via scripts/port_weights.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from setok_tpu.config import LlamaConfig
+
+NEG_INF = -1e30
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           self.param_dtype)
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        return (y * scale.astype(jnp.float32)).astype(self.dtype)
+
+
+def rope_tables(positions: jnp.ndarray, head_dim: int,
+                theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for the given positions: (..., L, head_dim/2)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                           dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, L, H, D). HF 'rotate_half' convention (pairs are (i, i+D/2))."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[..., None, :]   # (B, L, 1, D/2)
+    sin = sin[..., None, :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray        # (layers, B, max_len, kv_heads, head_dim)
+    v: jnp.ndarray
+    length: jnp.ndarray   # () int32 — filled positions
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, positions,
+                 cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 cache_length: Optional[jnp.ndarray] = None):
+        """x: (B, L, D); mask: (B, 1, L, S) additive-ready bool (True=attend);
+        positions: (B, L). With a cache, keys/values cover S = max_len slots
+        and new entries are written at [cache_length, cache_length+L)."""
+        cfg = self.cfg
+        b, l, _ = x.shape
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        q = dense(cfg.num_heads * cfg.head_dim, "q_proj")(x)
+        k = dense(cfg.num_kv_heads * cfg.head_dim, "k_proj")(x)
+        v = dense(cfg.num_kv_heads * cfg.head_dim, "v_proj")(x)
+        q = q.reshape(b, l, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, l, cfg.num_kv_heads, cfg.head_dim)
+
+        cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache_kv = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            start = cache_length
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, start, 0, 0))
+            k, v = ck.astype(self.dtype), cv.astype(self.dtype)
+            new_cache_kv = (ck, cv)
+
+        groups = cfg.num_heads // cfg.num_kv_heads
+        if groups > 1:
+            k = jnp.repeat(k, groups, axis=2)
+            v = jnp.repeat(v, groups, axis=2)
+
+        attn = jnp.einsum("blhd,bshd->bhls", q, k) / jnp.sqrt(cfg.head_dim)
+        attn = jnp.where(mask, attn.astype(jnp.float32), NEG_INF)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhls,bshd->blhd", attn, v)
+        out = out.reshape(b, l, cfg.num_heads * cfg.head_dim)
+        out = dense(cfg.hidden_size, "o_proj")(out)
+        return out, new_cache_kv
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        gate = nn.silu(dense(cfg.intermediate_size, "gate_proj")(x))
+        up = dense(cfg.intermediate_size, "up_proj")(x)
+        return dense(cfg.hidden_size, "down_proj")(gate * up)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, positions, cache_kv=None, cache_length=None):
+        cfg = self.cfg
+        h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
+                    name="input_norm")(x)
+        h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype,
+                                      name="attn")(h, mask, positions,
+                                                   cache_kv, cache_length)
+        x = x + h
+        h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
+                    name="post_attn_norm")(x)
+        x = x + LlamaMLP(cfg, self.dtype, self.param_dtype, name="mlp")(h)
+        return x, new_cache
+
+
+def make_attention_mask(valid: jnp.ndarray, positions: jnp.ndarray,
+                        cache_valid: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
+    """(B, 1, L, S) boolean mask: causal in *position* order + validity.
+
+    `valid`: (B, L) — query/key validity of the current chunk.
+    `cache_valid`: (B, S_prefix) validity of cached positions; when given,
+    keys = [cache (S slots); none] layout is handled by the caller passing
+    the full-width validity instead.
+    """
+    q_pos = positions[:, :, None]
+    if cache_valid is not None:
+        k_valid = cache_valid
+        s = k_valid.shape[1]
+        k_pos = jnp.where(cache_valid,
+                          jnp.cumsum(cache_valid.astype(jnp.int32),
+                                     axis=1) - 1, s + 1)
+        causal = q_pos >= k_pos[:, None, :]
+        m = causal & valid[:, :, None] & k_valid[:, None, :]
+    else:
+        k_pos = positions[:, None, :]
+        causal = q_pos >= k_pos
+        m = causal & valid[:, :, None] & valid[:, None, :]
+    return m[:, None, :, :]
+
+
+class LlamaModel(nn.Module):
+    """Embedding-in → hidden-out trunk (no LM head)."""
+
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_embeds: jnp.ndarray, mask: jnp.ndarray,
+                 positions: jnp.ndarray,
+                 cache: Optional[KVCache] = None
+                 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+        cfg = self.cfg
+        x = inputs_embeds.astype(self.dtype)
+        block_cls = LlamaBlock
+        if self.remat and cache is None:
+            block_cls = nn.remat(LlamaBlock, static_argnums=())
+        new_k, new_v = [], []
+        for i in range(cfg.num_layers):
+            cache_kv = ((cache.k[i], cache.v[i])
+                        if cache is not None else None)
+            cache_len = cache.length if cache is not None else None
+            x, updated = block_cls(cfg, self.dtype, self.param_dtype,
+                                   name=f"layer_{i}")(x, mask, positions,
+                                                      cache_kv, cache_len)
+            if updated is not None:
+                new_k.append(updated[0])
+                new_v.append(updated[1])
+        x = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
+                    name="final_norm")(x)
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
+                                length=cache.length
+                                + jnp.asarray(inputs_embeds.shape[1],
+                                              jnp.int32))
+        return x, new_cache
+
+
+class LlamaForCausalLM(nn.Module):
+    """Trunk + tied-or-separate LM head + token embedding table."""
+
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype)
+        self.model = LlamaModel(cfg, self.dtype, self.param_dtype,
+                                remat=self.remat)
+        if not cfg.tie_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(jnp.maximum(input_ids, 0))
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.tie_embeddings:
+            return self.embed_tokens.attend(hidden)
+        return self.lm_head(hidden)
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 valid: Optional[jnp.ndarray] = None,
+                 cache: Optional[KVCache] = None):
+        if valid is None:
+            valid = jnp.ones(input_ids.shape, bool)
+        positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        mask = make_attention_mask(valid, positions)
+        x = self.embed(input_ids)
+        hidden, new_cache = self.model(x, mask, positions, cache)
+        return self.logits(hidden), hidden, new_cache

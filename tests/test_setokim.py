@@ -1,0 +1,182 @@
+"""Setokim MLLM tests: splicing, masked-hole equivalence, losses, decode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from setok_tpu import config as cfgs
+from setok_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from setok_tpu.models.llama import LlamaForCausalLM, make_attention_mask
+from setok_tpu.models.setokim import Setokim, mask_by_order
+
+TGT = 3           # <target> vocab id used in tests
+L = 40
+
+
+def make_inputs(b=2, seed=0):
+    """Layout: [bos, 8 image slots, 6 text, 8 target slots, pad...]."""
+    rs = np.random.RandomState(seed)
+    k_max = 8
+    ids = np.zeros((b, L), np.int64)
+    labels = np.full((b, L), IGNORE_INDEX, np.int64)
+    ids[:, 0] = 1
+    ids[:, 1:1 + k_max] = IMAGE_TOKEN_INDEX
+    text = rs.randint(10, 400, size=(b, 6))
+    ids[:, 9:15] = text
+    labels[:, 10:15] = text[:, 1:]          # answer tokens supervised
+    ids[:, 15:23] = TGT
+    labels[:, 15:23] = TGT
+    images = rs.rand(b, 32, 32, 3).astype(np.float32) * 2 - 1
+    return (jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(images))
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = cfgs.tiny_setokim()
+    model = Setokim(cfg, target_token_id=TGT)
+    ids, labels, images = make_inputs()
+    params = model.init(jax.random.PRNGKey(0), ids, images, labels, images,
+                        jax.random.PRNGKey(1), method=model.init_all)
+    return model, params
+
+
+def test_forward_losses(model_and_params):
+    model, params = model_and_params
+    ids, labels, images = make_inputs()
+    out = model.apply(params, ids, images, labels, images,
+                      jax.random.PRNGKey(2))
+    assert np.isfinite(float(out.loss))
+    assert float(out.lm_loss) > 0
+    assert np.isfinite(float(out.diff_loss))
+    assert out.logits.shape == (2, L, model.cfg.llama.vocab_size)
+
+
+def test_image_slots_get_projected_features(model_and_params):
+    model, params = model_and_params
+    ids, labels, images = make_inputs()
+    embeds, valid, positions = model.apply(
+        params, ids, images, method=model.prepare_multimodal)
+    feats, img_valid = model.apply(params, images,
+                                   method=model.encode_images)
+    np.testing.assert_allclose(np.asarray(embeds[:, 1:9]),
+                               np.asarray(feats), atol=1e-5)
+    # image-slot validity comes from the tokenizer's cluster mask
+    np.testing.assert_array_equal(np.asarray(valid[:, 1:9]),
+                                  np.asarray(img_valid))
+    # pads invalid
+    assert not np.asarray(valid[:, 23:]).any()
+    # positions are cumsum over valid (packed semantics)
+    v = np.asarray(valid).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(positions),
+                                  np.cumsum(v, axis=1) - 1)
+
+
+def test_masked_holes_equal_packed_sequence():
+    """A sequence with masked holes must produce the same hidden states as
+    the equivalent packed sequence — the core splicing-recast invariant."""
+    cfg = cfgs.tiny_llama()
+    model = LlamaForCausalLM(cfg)
+    rs = np.random.RandomState(0)
+    ids_packed = jnp.asarray(rs.randint(5, 400, size=(1, 6)))
+    params = model.init(jax.random.PRNGKey(0), ids_packed)
+
+    # holes: insert 3 invalid positions in the middle
+    ids_holes = jnp.concatenate(
+        [ids_packed[:, :3], jnp.full((1, 3), 7, jnp.int32),
+         ids_packed[:, 3:]], axis=1)
+    valid = jnp.asarray([[1, 1, 1, 0, 0, 0, 1, 1, 1]], bool)
+
+    _, h_packed, _ = model.apply(params, ids_packed)
+    _, h_holes, _ = model.apply(params, ids_holes, valid)
+
+    np.testing.assert_allclose(np.asarray(h_holes[0, [0, 1, 2, 6, 7, 8]]),
+                               np.asarray(h_packed[0]), rtol=2e-4, atol=2e-5)
+
+
+def test_prefill_decode_matches_full_forward(model_and_params):
+    """KV-cache decode must reproduce the no-cache forward logits."""
+    model, params = model_and_params
+    ids, labels, images = make_inputs(b=1)
+    max_len = L + 4
+
+    logits_last, hidden_last, cache, cache_valid, _ = model.apply(
+        params, ids, images, max_len, method=model.prefill)
+
+    # decode two fixed tokens
+    toks = [11, 17]
+    cur_valid = cache_valid
+    next_pos = jnp.sum(jnp.asarray(cur_valid, jnp.int32), axis=1)
+    decoded_logits = []
+    for t in toks:
+        step_logits, _, cache, cur_valid = model.apply(
+            params, jnp.asarray([[t]]), cache, cur_valid, next_pos,
+            method=model.decode_step)
+        decoded_logits.append(step_logits)
+        next_pos = next_pos + 1
+
+    # ground truth: full forward over extended ids
+    ids_ext = jnp.concatenate(
+        [ids, jnp.zeros((1, max_len - L), ids.dtype)], axis=1)
+    ids_ext = ids_ext.at[0, L].set(toks[0]).at[0, L + 1].set(toks[1])
+    out = model.apply(params, ids_ext, images)
+    np.testing.assert_allclose(np.asarray(decoded_logits[0][0]),
+                               np.asarray(out.logits[0, L]), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(decoded_logits[1][0]),
+                               np.asarray(out.logits[0, L + 1]), rtol=2e-3,
+                               atol=2e-3)
+    # prefill's last-valid logits match the full forward at the last valid
+    # slot of the ORIGINAL prompt (before the appended decode tokens)
+    prompt_valid = np.asarray(out.valid[0, :L])
+    last_valid = int(prompt_valid.nonzero()[0][-1])
+    np.testing.assert_allclose(np.asarray(logits_last[0]),
+                               np.asarray(out.logits[0, last_valid]),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_mask_by_order():
+    orders = jnp.asarray([[2, 0, 1, 3]])
+    m = np.asarray(mask_by_order(jnp.asarray([2]), orders, 4))
+    # first 2 of order = positions 2, 0
+    np.testing.assert_array_equal(m, [[True, False, True, False]])
+
+
+def test_sample_image_tokens_and_render(model_and_params):
+    model, params = model_and_params
+    cond = jnp.asarray(np.random.RandomState(0).randn(
+        1, 8, model.cfg.llama.hidden_size).astype(np.float32))
+    toks = model.apply(params, cond, jax.random.PRNGKey(0), 4,
+                       method=model.sample_image_tokens)
+    assert toks.shape == (1, 8, model.cfg.diffloss.target_channels)
+    assert np.isfinite(np.asarray(toks)).all()
+    img = model.apply(params, toks, method=model.render_image)
+    assert img.image.shape == (1, 32, 32, 3)
+
+
+def test_gradients_reach_all_trainable_parts(model_and_params):
+    model, params = model_and_params
+    ids, labels, images = make_inputs()
+
+    # DiT-style zero-init adaLN blocks conditioning gradients at exactly
+    # step 0 (diffloss.py:207-215); perturb so the cond path is live, as it
+    # is after the first optimizer step.
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
+
+    def loss_fn(p):
+        out = model.apply(p, ids, images, labels, images,
+                          jax.random.PRNGKey(2))
+        return out.loss
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    by_top = {}
+    for path, g in flat:
+        top = path[1].key if len(path) > 1 else path[0].key
+        by_top[top] = max(by_top.get(top, 0.0), float(jnp.abs(g).max()))
+    for part in ["llama", "mm_in_projector", "mm_out_projector", "diffloss"]:
+        assert by_top.get(part, 0) > 0, f"no gradient reached {part}"
