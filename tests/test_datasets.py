@@ -1,0 +1,150 @@
+"""Dataset adapters end-to-end with synthetic fixtures on disk."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from setok_tpu.constants import IMAGE_TOKEN_INDEX
+from setok_tpu.data.collator import Collator
+from setok_tpu.data.datasets import (EditingDataset, InstructionTuningDataset,
+                                     TextImagePairDataset, concat_datasets,
+                                     extend_list, load_cc3m, load_coco,
+                                     load_gqa, load_vqa_pairs)
+from setok_tpu.data.image_processing import ImageProcessor, \
+    GeneratorImageProcessor
+
+
+class ToyTokenizer:
+    bos_token_id = 1
+
+    def encode(self, text):
+        return [1] + [2 + (hash(w) % 5000) for w in text.split()]
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    # images
+    for k, name in enumerate(["a.jpg", "b.jpg", "1.jpg"]):
+        Image.fromarray(
+            (np.random.RandomState(k).rand(40, 60, 3) * 255).astype("uint8")
+        ).save(root / name)
+    # cc3m-style json
+    cc3m = [{"image": str(root / "a.jpg"), "caption": "a red bird"},
+            {"image": str(root / "b.jpg"), "caption": "a blue car"}]
+    (root / "cc3m.json").write_text(json.dumps(cc3m))
+    # coco captions + panoptic
+    coco_cap = {"images": [{"id": 7, "file_name": "a.jpg"}],
+                "annotations": [{"image_id": 7, "caption": "seven things"}]}
+    coco_pan = {"categories": [{"id": 1, "name": "bird"},
+                               {"id": 2, "name": "sky"}],
+                "annotations": [{"image_id": 7, "segments_info": [
+                    {"category_id": 1}, {"category_id": 2}]}]}
+    (root / "cap.json").write_text(json.dumps(coco_cap))
+    (root / "pan.json").write_text(json.dumps(coco_pan))
+    # gqa
+    gqa = {"q1": {"imageId": "1", "question": "what is it?",
+                  "fullAnswer": "It is a bird."}}
+    (root / "gqa.json").write_text(json.dumps(gqa))
+    # vqa pairs
+    (root / "qs.json").write_text(json.dumps({"questions": [
+        {"question_id": 5, "image_id": 1, "question": "how many?"}]}))
+    (root / "ann.json").write_text(json.dumps({"annotations": [
+        {"question_id": 5, "multiple_choice_answer": "two",
+         "answers": [{"answer": "two"}]}]}))
+    # llava conversations
+    llava = [{"id": "x", "image": str(root / "a.jpg"),
+              "conversations": [
+                  {"from": "human", "value": "<image>\ndescribe"},
+                  {"from": "gpt", "value": "a bird"}]}]
+    (root / "llava.json").write_text(json.dumps(llava))
+    return root
+
+
+def test_load_cc3m_and_pair_dataset(fixtures):
+    recs = load_cc3m(str(fixtures / "cc3m.json"))
+    assert len(recs) == 2
+    ds = TextImagePairDataset(recs, ToyTokenizer(),
+                              contrastive_tokenizer=ToyTokenizer(),
+                              task_type="caption",
+                              image_processor=ImageProcessor(size=32),
+                              gen_processor=GeneratorImageProcessor(size=32))
+    item = ds[0]
+    assert item["comp_image"].shape == (32, 32, 3)
+    assert item["gen_image"].shape == (32, 32, 3)
+    assert item["gen_image"].min() >= -1 and item["gen_image"].max() <= 1
+    assert IMAGE_TOKEN_INDEX in item["input_ids"]
+    assert "input_ids_for_contrastive" in item
+    assert len(ds.lengths) == 2 and len(ds.modality_lengths) == 2
+    assert all(l > 0 for l in ds.modality_lengths)   # all multimodal
+
+
+def test_pair_generation_task_has_targets(fixtures):
+    recs = load_cc3m(str(fixtures / "cc3m.json"))
+    ds = TextImagePairDataset(recs, ToyTokenizer(), task_type="generation",
+                              image_processor=ImageProcessor(size=32),
+                              gen_processor=GeneratorImageProcessor(size=32),
+                              target_num=4)
+    item = ds[0]
+    # <target> expanded to 4 vocab tokens (ToyTokenizer hashes the word)
+    tgt_tok = ToyTokenizer().encode("<target>")[1]
+    assert list(item["input_ids"]).count(tgt_tok) == 4
+
+
+def test_load_coco_with_phrases(fixtures):
+    recs = load_coco(str(fixtures / "cap.json"), str(fixtures / "pan.json"))
+    assert recs[0]["phrases"] == ["bird", "sky"]
+    assert recs[0]["cluster_num"] == 2
+
+
+def test_instruction_mixture(fixtures):
+    ds = InstructionTuningDataset(
+        ["gqa", "llava"],
+        [str(fixtures / "gqa.json"), str(fixtures / "llava.json")],
+        ToyTokenizer(), image_folders=[str(fixtures), ""],
+        data_multiple=[2.0, 1.0],
+        image_processor=ImageProcessor(size=32),
+        gen_processor=GeneratorImageProcessor(size=32))
+    assert len(ds) == 3           # gqa ×2 + llava ×1
+    item = ds[0]
+    assert "comp_image" in item
+
+
+def test_vqa_pairs(fixtures):
+    recs = load_vqa_pairs(str(fixtures / "qs.json"),
+                          str(fixtures / "ann.json"),
+                          image_folder=str(fixtures),
+                          file_pattern="{:d}.jpg")
+    assert recs[0]["conversations"][1]["value"] == "two"
+
+
+def test_editing_dataset_and_collator(fixtures):
+    recs = [{"source_image": str(fixtures / "a.jpg"),
+             "target_image": str(fixtures / "b.jpg"),
+             "instruction": "make the bird blue"}]
+    ds = EditingDataset(recs, ToyTokenizer(),
+                        image_processor=ImageProcessor(size=32),
+                        gen_processor=GeneratorImageProcessor(size=32),
+                        target_num=4)
+    item = ds[0]
+    # gen image differs from comp image (edited target)
+    assert not np.allclose(item["comp_image"], item["gen_image"])
+
+    col = Collator(max_len=64, k_max=4)
+    batch = col([item, item])
+    assert batch["input_ids"].shape == (2, 64)
+    assert (batch["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 8
+
+
+def test_extend_list_and_concat(fixtures):
+    recs = load_cc3m(str(fixtures / "cc3m.json"))
+    assert len(extend_list(recs, 2.5)) == 5
+    ds1 = TextImagePairDataset(recs, ToyTokenizer(),
+                               image_processor=ImageProcessor(size=32),
+                               gen_processor=GeneratorImageProcessor(size=32))
+    cat = concat_datasets(ds1, ds1)
+    assert len(cat) == 4
+    assert cat[3] is not None
