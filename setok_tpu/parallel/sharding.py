@@ -21,7 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from setok_tpu.parallel.mesh import DATA_AXIS
+from setok_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def fsdp_spec(shape, axis_size: int, axis: str = DATA_AXIS,
@@ -58,3 +58,53 @@ def shard_tree(tree: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     """Place an existing pytree according to the FSDP rule."""
     shardings = fsdp_shardings(tree, mesh, axis)
     return jax.tree.map(jax.device_put, tree, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism for the LLaMA trunk (Megatron-style column/row split)
+
+_TP_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head")
+_TP_ROW = ("o_proj", "down_proj")
+
+
+def llama_tp_spec(name: str, shape, model_axis: str = MODEL_AXIS,
+                  model_size: int = 1):
+    """Partition spec for one LLaMA param by path name, or None if the
+    param is not TP-split (caller falls back to the FSDP rule).
+
+    Column-parallel: qkv/gate/up/lm_head kernels split on the output dim;
+    row-parallel: o/down kernels split on the input dim — the standard
+    Megatron layout, which makes XLA insert exactly one all-reduce per
+    attention/MLP block over the `model` axis.
+    """
+    if model_size <= 1 or len(shape) != 2:
+        return None
+    if any(f"['{k}']" in name for k in _TP_COL):
+        if shape[1] % model_size == 0:
+            return P(None, model_axis)
+    if any(f"['{k}']" in name for k in _TP_ROW):
+        if shape[0] % model_size == 0:
+            return P(model_axis, None)
+    if "embed_tokens" in name and shape[1] % model_size == 0:
+        return P(None, model_axis)
+    return None
+
+
+def setokim_shardings(tree: Any, mesh: Mesh,
+                      data_axis: str = DATA_AXIS,
+                      model_axis: str = MODEL_AXIS,
+                      min_shard_elems: int = 2 ** 15) -> Any:
+    """Combined TP (LLaMA trunk) + FSDP (everything else) sharding tree."""
+    model_size = mesh.shape.get(model_axis, 1)
+    data_size = mesh.shape[data_axis]
+
+    def walk(path, leaf):
+        name = jax.tree_util.keystr(path)
+        shape = getattr(leaf, "shape", ())
+        spec = llama_tp_spec(name, shape, model_axis, model_size)
+        if spec is None:
+            spec = (fsdp_spec(shape, data_size, data_axis, min_shard_elems)
+                    if shape else P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(walk, tree)

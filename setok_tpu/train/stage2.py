@@ -1,0 +1,165 @@
+"""Stage-2/3 Setokim training: multimodal CE + MAR diffusion loss.
+
+Parity: /root/reference/src/train/train_setokim.py:217-447 +
+setokim_trainer.py. The reference's staged-freezing story — freeze the LLaMA
+backbone (256-257), tune only the mm projectors with their own LRs
+(setokim_trainer.py:166-199), LoRA-wrap the trunk (272-288) — maps to one
+mechanism here: an optax.multi_transform over path-derived labels
+('main' / 'proj_in' / 'proj_out' / 'frozen'), with LoRA as a separate
+trainable tree beside the frozen base (train/lora.py).
+
+The step is global/GSPMD like stage-1: batch sharded over `data`, params
+FSDP- or TP-sharded by the rules in parallel/sharding.py; XLA inserts the
+ZeRO-style collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from setok_tpu.config import SetokimConfig, TrainConfig
+from setok_tpu.models.setokim import Setokim
+from setok_tpu.train.lora import apply_lora, default_target_filter, init_lora
+
+
+class Stage2State(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any                 # full model params (base when LoRA on)
+    lora: Optional[Any]         # LoRA tree or None
+    opt_state: Any
+
+
+@dataclasses.dataclass(eq=False)
+class Stage2Trainer:
+    cfg: SetokimConfig
+    train_cfg: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    target_token_id: int = 3
+    # freezing flags (parity: training_utils.py:103-141 + ModelArguments)
+    freeze_backbone: bool = False
+    tune_mm_in_mlp_adapter: bool = False
+    tune_mm_out_mlp_adapter: bool = False
+    freeze_mm_in_mlp_adapter: bool = False
+    freeze_mm_out_mlp_adapter: bool = False
+    unfreeze_mm_vision_tower: bool = False
+    mm_in_projector_lr: Optional[float] = None
+    mm_out_projector_lr: Optional[float] = None
+    # LoRA (parity: lora_enable/lora_r/lora_alpha, training_utils.py:134-139)
+    lora_enable: bool = False
+    lora_r: int = 64
+    lora_alpha: float = 16.0
+
+    def __post_init__(self):
+        self.model = Setokim(self.cfg, target_token_id=self.target_token_id,
+                             remat=self.train_cfg.remat)
+        tc = self.train_cfg
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, tc.learning_rate, tc.warmup_steps, tc.total_steps)
+
+        def adamw(lr):
+            return optax.adamw(lr, b1=tc.beta1, b2=tc.beta2,
+                               weight_decay=tc.weight_decay)
+
+        self._tx = optax.multi_transform(
+            {"main": adamw(sched),
+             "proj_in": adamw(self.mm_in_projector_lr or tc.learning_rate),
+             "proj_out": adamw(self.mm_out_projector_lr or tc.learning_rate),
+             "lora": adamw(sched),
+             "frozen": optax.set_to_zero()},
+            self._labels)
+
+    # ------------------------------------------------------------------
+    def _label_of(self, name: str, in_lora_tree: bool) -> str:
+        if in_lora_tree:
+            return "lora"
+        if "vision_tower" in name:
+            return "main" if self.unfreeze_mm_vision_tower else "frozen"
+        if "vision_generator" in name:
+            return "frozen"          # stage-1 pretrained, frozen here
+        if "mm_in_projector" in name:
+            return ("frozen" if self.freeze_mm_in_mlp_adapter
+                    else "proj_in")
+        if "mm_out_projector" in name:
+            return ("frozen" if self.freeze_mm_out_mlp_adapter
+                    else "proj_out")
+        if "diffloss" in name:
+            return "main"
+        # LLaMA trunk + embeddings + lm head
+        adapters_only = (self.tune_mm_in_mlp_adapter
+                         or self.tune_mm_out_mlp_adapter)
+        if self.freeze_backbone or adapters_only or self.lora_enable:
+            return "frozen"
+        return "main"
+
+    def _labels(self, tree):
+        has_lora = isinstance(tree, dict) and "lora" in tree
+
+        def walk(path, _):
+            name = jax.tree_util.keystr(path)
+            in_lora = has_lora and name.startswith("['lora']")
+            return self._label_of(name, in_lora)
+
+        return jax.tree_util.tree_map_with_path(walk, tree)
+
+    # ------------------------------------------------------------------
+    def create_state(self, rng: jax.Array, batch: Dict[str, Any]
+                     ) -> Stage2State:
+        k_init, k_lora, k_diff = jax.random.split(rng, 3)
+        params = self.model.init(
+            k_init, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["comp_image"]), jnp.asarray(batch["labels"]),
+            jnp.asarray(batch["gen_image"]), k_diff,
+            method=self.model.init_all)
+        lora = None
+        if self.lora_enable:
+            lora = init_lora(params, k_lora, self.lora_r,
+                             default_target_filter)
+        tp = {"params": params, "lora": lora} if lora is not None else \
+            {"params": params}
+        return Stage2State(step=jnp.zeros((), jnp.int32), params=params,
+                           lora=lora, opt_state=self._tx.init(tp))
+
+    def _effective_params(self, params, lora):
+        if lora is None:
+            return params
+        return apply_lora(params, lora, self.lora_alpha, self.lora_r)
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: Stage2State, batch: Dict[str, Any],
+                   rng: jax.Array) -> Tuple[Stage2State, Dict[str, Any]]:
+        drop_rng, diff_rng = jax.random.split(rng)
+        ids = batch["input_ids"]
+        labels = batch["labels"]
+        comp = batch["comp_image"]
+        gen = batch.get("gen_image")
+
+        def loss_fn(tp):
+            p = self._effective_params(tp["params"], tp.get("lora"))
+            out = self.model.apply(p, ids, comp, labels, gen, diff_rng,
+                                   deterministic=False,
+                                   rngs={"dropout": drop_rng})
+            metrics = {"lm_loss": out.lm_loss, "diff_loss": out.diff_loss,
+                       "total_loss": out.loss}
+            return out.loss, metrics
+
+        tp = ({"params": state.params, "lora": state.lora}
+              if state.lora is not None else {"params": state.params})
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(tp)
+        updates, opt_state = self._tx.update(grads, state.opt_state, tp)
+        tp = optax.apply_updates(tp, updates)
+        return state.replace(step=state.step + 1, params=tp["params"],
+                             lora=tp.get("lora"),
+                             opt_state=opt_state), metrics
+
+    # ------------------------------------------------------------------
+    def merged_params(self, state: Stage2State):
+        """LoRA-merged full params (merge_lora_weights.py equivalent)."""
+        return self._effective_params(state.params, state.lora)

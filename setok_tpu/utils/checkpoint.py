@@ -1,0 +1,128 @@
+"""Checkpoint I/O: orbax-backed saves + key-prefix splicing + adapter saves.
+
+Parity: the reference's three mechanisms (SURVEY.md §5):
+  1. step checkpoints + auto-resume (train_setok.py:119-122) →
+     `save_checkpoint` / `restore_checkpoint` / `latest_step`;
+  2. adapter-only saving — `mm_projector.bin` with only projector keys
+     (setokim_trainer.py:234-253) → `save_subtree` with a path filter;
+  3. partial loading by key prefix — `get_w(weights, 'tokenizer')`
+     (setokim_arch.py:94-99) → `load_subtree` / `splice_params`.
+
+ZeRO-3 parameter gathering (maybe_zero_3, train_setokim.py:44-55) has no
+equivalent code here by design: orbax writes sharded jax.Arrays directly
+from each host (OCDBT), which is the TPU-native version of "gather then
+save" without the gather.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any,
+                    max_to_keep: int = 3) -> None:
+    with _manager(ckpt_dir, max_to_keep) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with _manager(ckpt_dir) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None,
+                       target: Any = None) -> Any:
+    """Restore (auto-latest when step=None); `target` supplies the pytree
+    structure/shardings."""
+    with _manager(ckpt_dir) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        if target is not None:
+            return mgr.restore(step,
+                               args=ocp.args.StandardRestore(target))
+        return mgr.restore(step)
+
+
+# ---------------------------------------------------------------------------
+# pytree-path filtering (the reference's key-prefix dict surgery)
+
+
+def filter_subtree(tree: Any, predicate: Callable[[str], bool]) -> Any:
+    """Keep leaves whose path-string matches; others become None."""
+    def walk(path, leaf):
+        name = jax.tree_util.keystr(path)
+        return leaf if predicate(name) else None
+
+    return jax.tree_util.tree_map_with_path(walk, tree)
+
+
+def splice_params(target: Any, source: Any,
+                  predicate: Callable[[str], bool]) -> Any:
+    """Overwrite target leaves with source leaves where predicate(path).
+
+    Parity: setokim_arch.py:94-99 `get_w` + load_state_dict — pretrained
+    tokenizer/detokenizer/projector weights spliced into a fresh model.
+    Source must share the target's structure at the spliced positions.
+    """
+    t_flat, treedef = jax.tree_util.tree_flatten_with_path(target)
+    s_lookup = {jax.tree_util.keystr(p): l
+                for p, l in jax.tree_util.tree_flatten_with_path(source)[0]}
+    out = []
+    for path, leaf in t_flat:
+        name = jax.tree_util.keystr(path)
+        if predicate(name) and name in s_lookup:
+            src = s_lookup[name]
+            assert src.shape == leaf.shape, (
+                f"splice shape mismatch at {name}: {src.shape} vs "
+                f"{leaf.shape}")
+            out.append(jax.numpy.asarray(src, leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def prefix_predicate(*prefixes: str) -> Callable[[str], bool]:
+    """Match any path containing one of the given component names."""
+    pats = [re.compile(re.escape(p)) for p in prefixes]
+    return lambda name: any(p.search(name) for p in pats)
+
+
+def save_subtree(path: str, tree: Any,
+                 predicate: Callable[[str], bool]) -> None:
+    """Adapter-only save (mm_projector.bin equivalent) as an .npz of
+    path→array."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {jax.tree_util.keystr(p): np.asarray(l)
+              for p, l in flat if predicate(jax.tree_util.keystr(p))}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_subtree(path: str, target: Any) -> Any:
+    """Splice an .npz adapter file back into a full param tree."""
+    data = np.load(path)
+    t_flat, treedef = jax.tree_util.tree_flatten_with_path(target)
+    out = []
+    for p, leaf in t_flat:
+        name = jax.tree_util.keystr(p)
+        if name in data.files:
+            out.append(jax.numpy.asarray(data[name], leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,135 @@
+"""Stage-2/3 trainer tests: freezing semantics, LoRA, checkpoint splicing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from setok_tpu import config as cfgs
+
+TC = cfgs.TrainConfig(warmup_steps=0, remat=False)
+from setok_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from setok_tpu.train.lora import (apply_lora, default_target_filter,
+                                  init_lora, merge_lora)
+from setok_tpu.train.stage2 import Stage2Trainer
+from setok_tpu.utils.checkpoint import (load_subtree, prefix_predicate,
+                                        save_subtree, splice_params)
+
+TGT = 3
+L = 40
+
+
+def make_batch(b=2, seed=0):
+    rs = np.random.RandomState(seed)
+    k_max = 8
+    ids = np.zeros((b, L), np.int64)
+    labels = np.full((b, L), IGNORE_INDEX, np.int64)
+    ids[:, 0] = 1
+    ids[:, 1:1 + k_max] = IMAGE_TOKEN_INDEX
+    text = rs.randint(10, 400, size=(b, 6))
+    ids[:, 9:15] = text
+    labels[:, 10:15] = text[:, 1:]
+    ids[:, 15:23] = TGT
+    labels[:, 15:23] = TGT
+    img = rs.rand(b, 32, 32, 3).astype(np.float32) * 2 - 1
+    return {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+            "comp_image": jnp.asarray(img), "gen_image": jnp.asarray(img)}
+
+
+def leaf_changed(before, after, match):
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = {jax.tree_util.keystr(p): l
+              for p, l in jax.tree_util.tree_flatten_with_path(after)[0]}
+    changed = []
+    for p, l in flat_b:
+        name = jax.tree_util.keystr(p)
+        if match in name:
+            changed.append(not np.allclose(np.asarray(l),
+                                           np.asarray(flat_a[name])))
+    return any(changed)
+
+
+def test_projector_only_training():
+    """Stage-2 (pretrain_mm_proj.sh shape): only projectors + diffloss move."""
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC, target_token_id=TGT,
+                       tune_mm_in_mlp_adapter=True,
+                       tune_mm_out_mlp_adapter=True,
+                       mm_in_projector_lr=1e-3, mm_out_projector_lr=1e-3)
+    batch = make_batch()
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    before = jax.tree.map(np.asarray, state.params)   # snapshot (donated)
+    state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert leaf_changed(before, state.params, "mm_in_projector")
+    assert leaf_changed(before, state.params, "diffloss")
+    assert not leaf_changed(before, state.params, "llama")
+    assert not leaf_changed(before, state.params, "vision_tower")
+    assert not leaf_changed(before, state.params, "vision_generator")
+
+
+def test_full_finetune_moves_llama():
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC, target_token_id=TGT)
+    batch = make_batch(seed=1)
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    before = jax.tree.map(np.asarray, state.params)   # snapshot (donated)
+    state, _ = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert leaf_changed(before, state.params, "llama")
+    assert not leaf_changed(before, state.params, "vision_tower")
+
+
+def test_lora_training():
+    """Stage-3 (finetune.sh shape): LoRA moves, base trunk frozen."""
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC, target_token_id=TGT,
+                       lora_enable=True, lora_r=4, lora_alpha=8.0)
+    batch = make_batch(seed=2)
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    assert state.lora is not None and len(state.lora) > 0
+    before_p = jax.tree.map(np.asarray, state.params)
+    before_l = jax.tree.map(np.asarray, state.lora)
+    state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert not leaf_changed(before_p, state.params, "llama")   # base frozen
+    assert leaf_changed(before_l, state.lora, "q_proj")        # lora moves
+    # merged params differ from base after training
+    merged = tr.merged_params(state)
+    assert leaf_changed(state.params, merged, "q_proj")
+
+
+def test_lora_starts_at_identity():
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC, target_token_id=TGT,
+                       lora_enable=True, lora_r=4)
+    batch = make_batch()
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    eff = apply_lora(state.params, state.lora, 16.0, 4)
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(eff)[0]):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_lora_target_filter():
+    assert default_target_filter("['params']['llama']['model']['layer_0']"
+                                 "['attn']['q_proj']['kernel']")
+    assert not default_target_filter("['params']['vision_tower']['out']"
+                                     "['kernel']")
+    assert not default_target_filter("['params']['llama']['lm_head']"
+                                     "['kernel']")
+
+
+def test_checkpoint_splice_and_subtree(tmp_path):
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC, target_token_id=TGT)
+    batch = make_batch()
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    other = tr.create_state(jax.random.PRNGKey(5), batch)
+
+    pred = prefix_predicate("mm_in_projector", "mm_out_projector")
+    spliced = splice_params(state.params, other.params, pred)
+    assert leaf_changed(state.params, spliced, "mm_in_projector")
+    assert not leaf_changed(state.params, spliced, "llama")
+
+    # adapter-only save/load round trip (mm_projector.bin equivalent)
+    path = str(tmp_path / "mm_projector.npz")
+    save_subtree(path, other.params, pred)
+    loaded = load_subtree(path, state.params)
+    assert leaf_changed(state.params, loaded, "mm_out_projector")
+    assert not leaf_changed(state.params, loaded, "vision_tower")
