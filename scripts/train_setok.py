@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Stage-1 SeTok training CLI.
+
+Parity: /root/reference/src/train/train_setok.py + scripts/train_setok.sh —
+same knob surface (batch size, lr, cluster config, GAN schedule, data
+paths), launched as a single process that drives every chip through the
+jax mesh (instead of one process per GPU under deepspeed). `--synthetic N`
+runs on generated data for smoke/perf testing without a dataset.
+
+Example:
+  python scripts/train_setok.py --synthetic 64 --steps 20 --batch-size 8 \
+      --image-size 64 --tiny
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-path", default=None,
+                   help="cc3m-style json (or directory of jsons)")
+    p.add_argument("--image-folder", default="")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic samples instead of a dataset")
+    p.add_argument("--output-dir", default="/tmp/setok_stage1")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=24)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--warmup-steps", type=int, default=100)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--min-cluster-num", type=int, default=64)
+    p.add_argument("--threshold", type=float, default=0.55)
+    p.add_argument("--k-max", type=int, default=80)
+    p.add_argument("--disc-start", type=int, default=5000)
+    p.add_argument("--task-type", default="caption",
+                   choices=["caption", "generation"])
+    p.add_argument("--tiny", action="store_true",
+                   help="test-scale model (CI/smoke)")
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from setok_tpu import config as cfgs
+    from setok_tpu.parallel.mesh import make_mesh, data_sharding
+    from setok_tpu.parallel.sharding import fsdp_shardings
+    from setok_tpu.train.stage1 import Stage1Trainer
+    from setok_tpu.utils import checkpoint as ckpt
+    from setok_tpu.utils.logging import MetricsLogger, build_logger
+
+    logger = build_logger("train_setok", "train_setok.log", args.output_dir)
+
+    if args.tiny:
+        tok_cfg = cfgs.tiny_tokenizer(args.image_size,
+                                      max(args.image_size // 4, 8))
+        det_cfg = cfgs.tiny_detokenizer(args.image_size,
+                                        max(args.image_size // 4, 8))
+    else:
+        tok_cfg = cfgs.replace(
+            cfgs.base_tokenizer(),
+            vit=cfgs.replace(cfgs.ViTConfig(), image_size=args.image_size),
+            min_cluster_num=args.min_cluster_num,
+            threshold=args.threshold, k_max=args.k_max)
+        det_cfg = cfgs.replace(cfgs.base_detokenizer(),
+                               image_size=args.image_size)
+
+    train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
+                                 warmup_steps=args.warmup_steps,
+                                 total_steps=args.steps,
+                                 batch_size=args.batch_size, seed=args.seed)
+    trainer = Stage1Trainer(
+        tok_cfg, det_cfg,
+        gan_cfg=cfgs.GANLossConfig(disc_start=args.disc_start),
+        contrastive_cfg=cfgs.ContrastiveLossConfig(
+            text_embed_dim=tok_cfg.token_feat_dim),
+        train_cfg=train_cfg, use_text_encoder=args.data_path is not None)
+
+    # ------------------------------------------------------------------
+    if args.synthetic:
+        rs = np.random.RandomState(args.seed)
+        n = args.synthetic
+
+        def batches():
+            while True:
+                idx = rs.randint(0, n)
+                r = np.random.RandomState(idx)
+                img = (r.rand(args.batch_size, args.image_size,
+                              args.image_size, 3) * 2 - 1).astype(np.float32)
+                yield {"comp_image": jnp.asarray(img),
+                       "gen_image": jnp.asarray(img),
+                       "text_emb": jnp.asarray(
+                           r.randn(args.batch_size,
+                                   tok_cfg.token_feat_dim)
+                           .astype(np.float32))}
+        it = batches()
+    else:
+        from setok_tpu.data.collator import Collator
+        from setok_tpu.data.datasets import TextImagePairDataset, load_cc3m
+        from setok_tpu.data.image_processing import (GeneratorImageProcessor,
+                                                     ImageProcessor)
+        from tests.test_data import ToyTokenizer  # placeholder LLM tokenizer
+
+        records = load_cc3m(args.data_path, args.image_folder)
+        ds = TextImagePairDataset(
+            records, ToyTokenizer(), contrastive_tokenizer=ToyTokenizer(),
+            task_type=args.task_type,
+            image_processor=ImageProcessor(size=args.image_size),
+            gen_processor=GeneratorImageProcessor(size=args.image_size))
+        col = Collator(max_len=77, k_max=tok_cfg.k_max)
+        order = np.random.RandomState(args.seed).permutation(len(ds))
+
+        def batches():
+            i = 0
+            while True:
+                idx = [int(order[(i + j) % len(ds)])
+                       for j in range(args.batch_size)]
+                i += args.batch_size
+                yield {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+                       for k, v in col([ds[j] for j in idx]).items()}
+        it = batches()
+
+    mesh = make_mesh()
+    bs = data_sharding(mesh)
+    first = next(it)
+    first = {k: jax.device_put(v, bs) if hasattr(v, "shape") else v
+             for k, v in first.items()}
+    state = trainer.create_state(jax.random.PRNGKey(args.seed), first)
+    state = jax.tree.map(jax.device_put, state, fsdp_shardings(state, mesh))
+
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    start = 0
+    if args.resume and ckpt.latest_step(ckpt_dir) is not None:
+        state = ckpt.restore_checkpoint(ckpt_dir, target=state)
+        start = int(state.step)
+        logger.info("resumed from step %d", start)
+
+    metrics_log = MetricsLogger(os.path.join(args.output_dir,
+                                             "metrics.jsonl"))
+    rng = jax.random.PRNGKey(args.seed + 1)
+    batch = first
+    for step in range(start, args.steps):
+        rng, k = jax.random.split(rng)
+        state, metrics = trainer.train_step(state, batch, k)
+        metrics_log.log(step, metrics)
+        if (step + 1) % args.checkpoint_every == 0 or step == args.steps - 1:
+            ckpt.save_checkpoint(ckpt_dir, step + 1, state)
+            logger.info("checkpoint @ %d", step + 1)
+        batch = next(it)
+        batch = {k_: jax.device_put(v, bs) if hasattr(v, "shape") else v
+                 for k_, v in batch.items()}
+    logger.info("done: %d steps", args.steps)
+
+
+if __name__ == "__main__":
+    main()

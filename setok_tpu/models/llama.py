@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -82,6 +83,7 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False     # Pallas fused kernel (kernels/flash_attention)
 
     @nn.compact
     def __call__(self, x, mask, positions,
@@ -122,10 +124,20 @@ class LlamaAttention(nn.Module):
             k = jnp.repeat(k, groups, axis=2)
             v = jnp.repeat(v, groups, axis=2)
 
-        attn = jnp.einsum("blhd,bshd->bhls", q, k) / jnp.sqrt(cfg.head_dim)
-        attn = jnp.where(mask, attn.astype(jnp.float32), NEG_INF)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhls,bshd->blhd", attn, v)
+        if self.use_flash and cache_kv is None:
+            from setok_tpu.kernels.flash_attention import flash_attention
+            interpret = jax.devices()[0].platform != "tpu"
+            out = flash_attention(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), mask[:, 0],
+                1.0 / float(np.sqrt(cfg.head_dim)), 128, interpret)
+            out = jnp.swapaxes(out, 1, 2).astype(self.dtype)
+        else:
+            attn = jnp.einsum("blhd,bshd->bhls", q, k) / jnp.sqrt(
+                cfg.head_dim)
+            attn = jnp.where(mask, attn.astype(jnp.float32), NEG_INF)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhls,bshd->blhd", attn, v)
         out = out.reshape(b, l, cfg.num_heads * cfg.head_dim)
         out = dense(cfg.hidden_size, "o_proj")(out)
         return out, new_cache_kv
@@ -151,6 +163,7 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask, positions, cache_kv=None, cache_length=None):
@@ -158,6 +171,7 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
                     name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype,
+                                      use_flash=self.use_flash,
                                       name="attn")(h, mask, positions,
                                                    cache_kv, cache_length)
         x = x + h
@@ -200,6 +214,7 @@ class LlamaModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, mask: jnp.ndarray,
@@ -217,6 +232,7 @@ class LlamaModel(nn.Module):
                         if cache is not None else None)
             cache_len = cache.length if cache is not None else None
             x, updated = block_cls(cfg, self.dtype, self.param_dtype,
+                                   self.use_flash,
                                    name=f"layer_{i}")(x, mask, positions,
                                                       cache_kv, cache_len)
             if updated is not None:
@@ -240,6 +256,7 @@ class LlamaForCausalLM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -247,7 +264,7 @@ class LlamaForCausalLM(nn.Module):
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype)
         self.model = LlamaModel(cfg, self.dtype, self.param_dtype,
-                                remat=self.remat)
+                                remat=self.remat, use_flash=self.use_flash)
         if not cfg.tie_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
                                     dtype=self.dtype,

@@ -64,6 +64,7 @@ class Stage1Trainer:
         default_factory=ContrastiveLossConfig)
     train_cfg: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     use_lpips: bool = False     # enable once VGG weights are ported
+    use_text_encoder: bool = False  # encode input_ids_for_contrastive in-graph
 
     def __post_init__(self):
         dtype = jnp.dtype(self.train_cfg.compute_dtype)
@@ -73,9 +74,16 @@ class Stage1Trainer:
         self.disc = NLayerDiscriminator(n_layers=self.gan_cfg.disc_num_layers)
         self.contrastive = ContrastiveLoss(self.contrastive_cfg)
         self.lpips = LPIPS() if self.use_lpips else None
+        if self.use_text_encoder:
+            from setok_tpu.models.text_encoder import TextEncoder
+            self.text_encoder = TextEncoder(
+                embed_dim=self.tokenizer_cfg.token_feat_dim)
+        else:
+            self.text_encoder = None
         tc = self.train_cfg
+        warmup = min(tc.warmup_steps, max(tc.total_steps - 1, 0))
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, tc.learning_rate, tc.warmup_steps, tc.total_steps)
+            0.0, tc.learning_rate, warmup, tc.total_steps)
         self.gen_opt = optax.adamw(sched, b1=tc.beta1, b2=tc.beta2,
                                    weight_decay=tc.weight_decay)
         self.disc_opt = optax.adam(tc.disc_learning_rate, b1=tc.beta1,
@@ -99,6 +107,11 @@ class Stage1Trainer:
         lpips_params = (self.lpips.init(k4, gold, gold)
                         if self.lpips is not None else None)
         gen_params = {"setok": setok_params, "contrastive": ctr_params}
+        if (self.text_encoder is not None
+                and "input_ids_for_contrastive" in sample_batch):
+            gen_params["text_encoder"] = self.text_encoder.init(
+                jax.random.fold_in(k3, 1),
+                jnp.asarray(sample_batch["input_ids_for_contrastive"]))
         return Stage1State(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params, disc_params=disc_params,
@@ -176,7 +189,14 @@ class Stage1Trainer:
                                   warm_up_end=gan.warm_up_end)
             total = rec_loss + d_weight * factor * g_loss
 
-            if text_emb is not None:
+            local_text_emb = text_emb
+            if (local_text_emb is None and self.text_encoder is not None
+                    and "input_ids_for_contrastive" in batch):
+                local_text_emb = self.text_encoder.apply(
+                    gen_params["text_encoder"],
+                    batch["input_ids_for_contrastive"],
+                    deterministic=False)
+            if local_text_emb is not None:
                 # pooled concept-token embedding vs text embedding (the
                 # reference feeds raw e_tokens into a (B, C) loss —
                 # model.py:97/multilabel_constrastive.py:53 — which only
@@ -187,7 +207,7 @@ class Stage1Trainer:
                                    * out.token_valid[..., None], axis=1)
                            / denom)
                 c_loss, c_metrics = self.contrastive.apply(
-                    gen_params["contrastive"], img_emb, text_emb)
+                    gen_params["contrastive"], img_emb, local_text_emb)
                 total = total + self.train_cfg.contrastive_weight * c_loss
                 metrics.update(c_metrics)
 

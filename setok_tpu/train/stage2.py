@@ -59,8 +59,9 @@ class Stage2Trainer:
         self.model = Setokim(self.cfg, target_token_id=self.target_token_id,
                              remat=self.train_cfg.remat)
         tc = self.train_cfg
+        warmup = min(tc.warmup_steps, max(tc.total_steps - 1, 0))
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, tc.learning_rate, tc.warmup_steps, tc.total_steps)
+            0.0, tc.learning_rate, warmup, tc.total_steps)
 
         def adamw(lr):
             return optax.adamw(lr, b1=tc.beta1, b2=tc.beta2,
