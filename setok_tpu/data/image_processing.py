@@ -42,12 +42,17 @@ def expand2square(img: "Image.Image",
 
 @dataclasses.dataclass
 class ImageProcessor:
-    """Resize + normalize → float32 (H, W, 3) NHWC."""
+    """Resize + normalize → float32 (H, W, 3) NHWC.
+
+    `use_native=True` routes through the C++ fused resize+normalize
+    (csrc/fast_image.cpp, bilinear); otherwise PIL bicubic.
+    """
 
     size: int = 256
     mean: Sequence[float] = SIGLIP_MEAN
     std: Sequence[float] = SIGLIP_STD
     pad_to_square: bool = False
+    use_native: bool = False
 
     @property
     def image_mean(self):
@@ -57,6 +62,12 @@ class ImageProcessor:
         if self.pad_to_square:
             img = expand2square(
                 img, tuple(int(x * 255) for x in self.mean))
+        if self.use_native:
+            from setok_tpu.data.native import resize_normalize
+            arr = np.asarray(img.convert("RGB"), np.uint8)
+            out = resize_normalize(arr, self.size, self.mean, self.std)
+            if out is not None:
+                return out
         img = img.convert("RGB").resize((self.size, self.size),
                                         Image.BICUBIC)
         arr = np.asarray(img, dtype=np.float32) / 255.0
@@ -72,8 +83,15 @@ class GeneratorImageProcessor:
     """[-1, 1] scaling for generation targets (editDataset.py:22-31)."""
 
     size: int = 256
+    use_native: bool = False
 
     def __call__(self, img) -> np.ndarray:
+        if self.use_native:
+            from setok_tpu.data.native import resize_normalize
+            arr = np.asarray(img.convert("RGB"), np.uint8)
+            out = resize_normalize(arr, self.size, scale=2.0, offset=-1.0)
+            if out is not None:
+                return out
         img = img.convert("RGB").resize((self.size, self.size),
                                         Image.BICUBIC)
         return np.asarray(img, dtype=np.float32) / 127.5 - 1.0
