@@ -1,0 +1,63 @@
+"""Metrics (PSNR/SSIM/FID) + token-embedding resize tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from setok_tpu.utils.metrics import (FIDStats, compute_fid,
+                                     frechet_distance, psnr, ssim)
+from setok_tpu.utils.tokens import resize_token_embeddings
+
+
+def test_psnr_ssim_identity():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    assert float(psnr(x, x)) > 100
+    np.testing.assert_allclose(float(ssim(x, x)), 1.0, atol=1e-5)
+    noisy = x + 0.3 * jnp.asarray(rs.randn(2, 32, 32, 3).astype(np.float32))
+    assert float(ssim(x, noisy)) < 0.9
+    assert float(psnr(x, noisy)) < 25
+
+
+def test_fid_zero_for_identical_and_positive_for_shifted():
+    rs = np.random.RandomState(1)
+    feats = rs.randn(500, 8)
+    s1, s2 = FIDStats(8), FIDStats(8)
+    s1.update(feats)
+    s2.update(feats)
+    m1, c1 = s1.finalize()
+    m2, c2 = s2.finalize()
+    assert abs(frechet_distance(m1, c1, m2, c2)) < 1e-6
+
+    s3 = FIDStats(8)
+    s3.update(feats + 2.0)
+    m3, c3 = s3.finalize()
+    d = frechet_distance(m1, c1, m3, c3)
+    np.testing.assert_allclose(d, 8 * 4.0, rtol=1e-6)   # ‖shift‖² = 8·2²
+
+
+def test_compute_fid_with_feature_fn():
+    rs = np.random.RandomState(2)
+    real = rs.rand(64, 8, 8, 3).astype(np.float32)
+    fake = real + 0.5
+    feat = lambda imgs: imgs.reshape(imgs.shape[0], -1)[:, :16]
+    d_same = compute_fid(real, real.copy(), feat, batch_size=16)
+    d_diff = compute_fid(real, fake, feat, batch_size=16)
+    assert d_same < 1e-6 < d_diff
+
+
+def test_resize_token_embeddings():
+    params = {"params": {"llama": {
+        "embed_tokens": {"embedding": jnp.asarray(
+            np.random.RandomState(0).randn(10, 4).astype(np.float32))},
+        "lm_head": {"kernel": jnp.asarray(
+            np.random.RandomState(1).randn(4, 10).astype(np.float32))},
+    }}}
+    out = resize_token_embeddings(params, 3)
+    emb = np.asarray(out["params"]["llama"]["embed_tokens"]["embedding"])
+    head = np.asarray(out["params"]["llama"]["lm_head"]["kernel"])
+    assert emb.shape == (13, 4) and head.shape == (4, 13)
+    old = np.asarray(params["params"]["llama"]["embed_tokens"]["embedding"])
+    np.testing.assert_allclose(emb[10:], old.mean(0, keepdims=True)
+                               .repeat(3, 0), rtol=1e-6)
+    np.testing.assert_allclose(emb[:10], old)
