@@ -417,6 +417,59 @@ class EditingDataset(LazySupervisedDataset):
         return self._item_from_conversations(full)
 
 
+def load_test(image_paths: Sequence[str],
+              captions: Sequence[str]) -> List[Dict]:
+    """Tiny smoke dataset (the reference hard-codes two absolute paths on
+    the author's machine, pairDataset.py:164-177; here caller-supplied)."""
+    return [{"image": p, "caption": c}
+            for p, c in zip(image_paths, captions)]
+
+
+def load_instructpix2pix(dataset_dir: str) -> List[Dict]:
+    """HF `load_from_disk` InstructPix2Pix records → editing records.
+    Parity: editDataset.py:81-150. Requires the `datasets` library."""
+    from datasets import load_from_disk
+    ds = load_from_disk(dataset_dir)
+    records = []
+    for i in range(len(ds)):
+        rec = ds[i]
+        records.append({"source_image": rec["original_image"],
+                        "target_image": rec["edited_image"],
+                        "instruction": rec["edit_prompt"]})
+    return records
+
+
+def load_magicbrush(dataset_dir: str) -> List[Dict]:
+    """MagicBrush records (source_img/target_img/instruction).
+    Parity: editDataset.py:153-284."""
+    from datasets import load_from_disk
+    ds = load_from_disk(dataset_dir)
+    records = []
+    for i in range(len(ds)):
+        rec = ds[i]
+        records.append({"source_image": rec["source_img"],
+                        "target_image": rec["target_img"],
+                        "instruction": rec["instruction"]})
+    return records
+
+
+def filter_missing_images(records: List[Dict], num_workers: int = 8,
+                          key: str = "image") -> List[Dict]:
+    """Drop records whose image file is missing, in parallel.
+
+    Parity: /root/reference/src/data_preprocess.py:9-44 (joblib n_jobs=50
+    existence filter for ALLaVA json) — thread pool instead of joblib.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def exists(rec):
+        return rec if (key not in rec or os.path.exists(rec[key])) else None
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        out = list(pool.map(exists, records))
+    return [r for r in out if r is not None]
+
+
 def concat_datasets(*datasets: LazySupervisedDataset):
     """ConcatDataset equivalent (editDataset.py wraps two sources)."""
 

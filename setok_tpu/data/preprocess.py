@@ -84,6 +84,110 @@ def preprocess_plain(sources: Sequence[Source], tokenizer) -> Dict:
     return dict(input_ids=input_ids, labels=labels)
 
 
+def _apply_template(sources: Sequence[Source], conv) -> List[str]:
+    roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+    conversations = []
+    for source in sources:
+        if roles.get(source[0]["from"]) != conv.roles[0]:
+            source = source[1:]
+        conv.messages = []
+        for j, sentence in enumerate(source):
+            role = roles[sentence["from"]]
+            assert role == conv.roles[j % 2], "conversation roles mismatch"
+            conv.append_message(role, sentence["value"])
+        conversations.append(conv.get_prompt())
+    return conversations
+
+
+def _mask_assistant_spans(conversations: Sequence[str], tokenizer,
+                          has_image: bool, round_sep: str,
+                          instr_sep: str) -> Dict:
+    """Supervise only assistant answers: rounds split on `round_sep`,
+    instruction part ends at `instr_sep`. Shared skeleton of the v1 /
+    llama_2 maskers (base_dataset.py:214-297 / 132-211), with exact span
+    arithmetic on accumulated prefixes."""
+    input_ids, labels = [], []
+    for conversation in conversations:
+        ids = _tok(conversation, tokenizer, has_image)
+        lbl = [IGNORE_INDEX] * len(ids)
+        rounds = conversation.split(round_sep)
+        prefix = ""
+        ok = True
+        for rou in rounds:
+            if rou == "":
+                continue
+            parts = rou.split(instr_sep)
+            if len(parts) != 2:
+                ok = len(parts) == 1
+                break
+            instr = prefix + parts[0] + instr_sep
+            full = prefix + rou + round_sep
+            start = len(_tok(instr, tokenizer, has_image))
+            end = len(_tok(full, tokenizer, has_image))
+            if not (0 <= start <= end <= len(ids)):
+                ok = False
+                break
+            lbl[start:end] = ids[start:end]
+            prefix = full
+        if not ok:
+            logger.warning("tokenization mismatch while masking; sample "
+                           "fully ignored (parity: base_dataset.py:286-292)")
+            lbl = [IGNORE_INDEX] * len(ids)
+        input_ids.append(ids)
+        labels.append(lbl)
+    return dict(input_ids=input_ids, labels=labels)
+
+
+def preprocess_llama_2(sources: Sequence[Source], tokenizer,
+                       has_image: bool = False) -> Dict:
+    """LLaMA-2 [INST] dialect. Parity: base_dataset.py:132-211."""
+    conv = conversation_lib.conv_llama_2.copy()
+    conversations = _apply_template(sources, conv)
+    return _mask_assistant_spans(conversations, tokenizer, has_image,
+                                 round_sep=conv.sep2, instr_sep="[/INST] ")
+
+
+def preprocess_mpt(sources: Sequence[Source], tokenizer,
+                   has_image: bool = False) -> Dict:
+    """MPT chatml dialect. Parity: base_dataset.py:300-385 (rounds
+    re-grouped as [system+user+gpt], then [user+gpt]...)."""
+    conv = conversation_lib.conv_mpt.copy()
+    conversations = _apply_template(sources, conv)
+    instr_sep = conv.sep + conv.roles[1]       # '<|im_end|><|im_start|>assistant\n'
+    input_ids, labels = [], []
+    for conversation in conversations:
+        ids = _tok(conversation, tokenizer, has_image)
+        lbl = [IGNORE_INDEX] * len(ids)
+        rounds = conversation.split(conv.sep)
+        re_rounds = [conv.sep.join(rounds[:3])]
+        for i in range(3, len(rounds), 2):
+            re_rounds.append(conv.sep.join(rounds[i:i + 2]))
+        prefix = ""
+        ok = True
+        for rou in re_rounds:
+            if rou == "":
+                continue
+            parts = rou.split(conv.roles[1])
+            if len(parts) != 2:
+                ok = len(parts) == 1
+                break
+            instr = prefix + parts[0] + conv.roles[1]
+            full = prefix + rou + conv.sep
+            start = len(_tok(instr, tokenizer, has_image))
+            end = len(_tok(full, tokenizer, has_image))
+            if not (0 <= start <= end <= len(ids)):
+                ok = False
+                break
+            lbl[start:end] = ids[start:end]
+            prefix = full
+        if not ok:
+            lbl = [IGNORE_INDEX] * len(ids)
+        input_ids.append(ids)
+        labels.append(lbl)
+    del instr_sep
+    return dict(input_ids=input_ids, labels=labels)
+
+
 def preprocess_v1(sources: Sequence[Source], tokenizer,
                   has_image: bool = False) -> Dict:
     """Vicuna v1 (TWO separator) with human-turn masking.
@@ -154,6 +258,8 @@ def preprocess(sources: Sequence[Source], tokenizer,
         return preprocess_plain(sources, tokenizer)
     if style == conversation_lib.SeparatorStyle.TWO:
         return preprocess_v1(sources, tokenizer, has_image=has_image)
-    raise NotImplementedError(
-        f"preprocessor for style {style} not implemented "
-        "(reference parity surface: plain + v1 cover every launch script)")
+    if style == conversation_lib.SeparatorStyle.LLAMA_2:
+        return preprocess_llama_2(sources, tokenizer, has_image=has_image)
+    if style == conversation_lib.SeparatorStyle.MPT:
+        return preprocess_mpt(sources, tokenizer, has_image=has_image)
+    raise NotImplementedError(f"preprocessor for style {style}")

@@ -94,6 +94,44 @@ def load_pretrained_model(model_path: str,
     return model, params
 
 
+def build_vision_tower(vision_tower_name: str,
+                       tokenizer_cfg: Optional[cfgs.TokenizerConfig] = None,
+                       **kw):
+    """Encoder dispatch: only SigLIP-family names map to the SeTok
+    tokenizer. Parity: multimodal_encoder/builder.py:6-22 (the reference
+    raises for anything that isn't 'siglip'; its EVA/OpenCLIP towers are
+    unreachable dead code, SURVEY.md §2.7)."""
+    from setok_tpu.models.tokenizer import SetokTokenizer
+    if "siglip" in vision_tower_name.lower():
+        return SetokTokenizer(tokenizer_cfg or cfgs.base_tokenizer(), **kw)
+    raise ValueError(f"Unknown vision tower: {vision_tower_name}")
+
+
+def build_vision_generator(detokenizer_cfg: Optional[
+        cfgs.DetokenizerConfig] = None, **kw):
+    """Parity: multimodal_generator/builder.py:4-12 (always the SeTok
+    detokenizer)."""
+    from setok_tpu.models.detokenizer import SetokDeTokenizer
+    return SetokDeTokenizer(detokenizer_cfg or cfgs.base_detokenizer(), **kw)
+
+
+def get_obj_from_str(string: str, reload: bool = False):
+    """Parity: src/model/utils.py:6-14."""
+    import importlib
+    module, cls = string.rsplit(".", 1)
+    mod = importlib.import_module(module)
+    if reload:
+        importlib.reload(mod)
+    return getattr(mod, cls)
+
+
+def instantiate_from_config(config: dict):
+    """Parity: src/model/utils.py:16-21 ({'target': ..., 'params': {...}})."""
+    if "target" not in config:
+        raise KeyError("Expected key `target` to instantiate.")
+    return get_obj_from_str(config["target"])(**config.get("params", {}))
+
+
 def make_delta(base_params: Any, target_params: Any) -> Any:
     """target − base weight deltas. Parity: src/model/make_delta.py."""
     return jax.tree.map(lambda t, b: t - b, target_params, base_params)
