@@ -67,11 +67,13 @@ class Stage1Trainer:
     use_text_encoder: bool = False  # encode input_ids_for_contrastive in-graph
 
     def __post_init__(self):
+        # mixed precision: bf16 activations on the MXU, fp32 params/opt
+        # (replaces the reference's fp16/bf16/tf32 flag scatter, SURVEY §2.6)
         dtype = jnp.dtype(self.train_cfg.compute_dtype)
         self.model = SeTok(self.tokenizer_cfg, self.detokenizer_cfg,
-                           dtype=jnp.float32)
-        del dtype  # bf16 compute arrives with the perf pass
-        self.disc = NLayerDiscriminator(n_layers=self.gan_cfg.disc_num_layers)
+                           dtype=dtype)
+        self.disc = NLayerDiscriminator(n_layers=self.gan_cfg.disc_num_layers,
+                                        dtype=dtype)
         self.contrastive = ContrastiveLoss(self.contrastive_cfg)
         self.lpips = LPIPS() if self.use_lpips else None
         if self.use_text_encoder:
@@ -249,6 +251,20 @@ class Stage1Trainer:
                                   gen_opt_state=gen_opt_state,
                                   disc_opt_state=disc_opt_state)
         return new_state, metrics
+
+
+def _eval_step_impl(trainer: "Stage1Trainer", gen_params, batch):
+    out = trainer.model.apply(gen_params["setok"], batch["comp_image"])
+    from setok_tpu.utils.metrics import psnr as _psnr, ssim as _ssim
+    gold = batch["gen_image"]
+    return {"psnr": _psnr(out.recon, gold), "ssim": _ssim(out.recon, gold),
+            "num_clusters": jnp.mean(out.num_clusters.astype(jnp.float32))}
+
+
+def eval_step(trainer: "Stage1Trainer", state: Stage1State, batch):
+    """Reconstruction-quality eval (PSNR/SSIM over a held-out batch)."""
+    return jax.jit(_eval_step_impl, static_argnums=0)(
+        trainer, state.gen_params, batch)
 
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray,

@@ -90,3 +90,12 @@ def test_mesh_sharded_step_matches_single_device(trainer):
     for k in ["total_loss", "rec_loss", "d_loss", "contrastive_loss"]:
         np.testing.assert_allclose(float(m_single[k]), float(m_sharded[k]),
                                    rtol=2e-3, atol=1e-4), k
+
+
+def test_eval_step(trainer):
+    from setok_tpu.train.stage1 import eval_step
+    batch = make_batch(seed=9)
+    state = trainer.create_state(jax.random.PRNGKey(4), batch)
+    m = eval_step(trainer, state, batch)
+    assert np.isfinite(float(m["psnr"]))
+    assert -1 <= float(m["ssim"]) <= 1
