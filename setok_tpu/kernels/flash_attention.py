@@ -34,26 +34,28 @@ DEFAULT_BLOCK_Q = 128
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale):
-    q = q_ref[0, 0].astype(jnp.float32)                 # (BQ, D)
-    k = k_ref[0, 0].astype(jnp.float32)                 # (LK, D)
-    v = v_ref[0, 0].astype(jnp.float32)
-    mask = mask_ref[0] != 0                             # (BQ, LK)
+    # mask arrives as float32 0/1 and masking is arithmetic throughout —
+    # Mosaic's vector layouts reject large i1 vectors (relayout bug), and
+    # multiply-masking fuses better on the VPU anyway
+    q = q_ref[0, 0]                                     # (BQ, D) native dtype
+    k = k_ref[0, 0]                                     # — MXU takes bf16 in,
+    v = v_ref[0, 0]                                     # f32 accumulates
+    mf = mask_ref[0]                                    # (BQ, LK) 0/1 f32
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
-    s = jnp.where(mask, s, NEG_INF)
+    s = s * mf + NEG_INF * (1.0 - mf)
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
-    # masked entries contribute exactly 0 (not exp(-huge)) — stable and
-    # grad-blocking, matching the where-masked softmax
-    p = jnp.where(mask, jnp.exp(s - m), 0.0)
+    # masked entries contribute exactly 0 (grad-blocking where-mask)
+    p = jnp.exp(s - m) * mf
     l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) / l
     # fully-masked rows (invalid query slots) → defined zero output
-    row_valid = jnp.any(mask, axis=-1, keepdims=True)
-    o = jnp.where(row_valid, o, 0.0)
+    row_valid = jnp.minimum(jnp.sum(mf, axis=-1, keepdims=True), 1.0)
+    o = o * row_valid
     o_ref[0, 0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0] = (m[:, 0] + jnp.log(l[:, 0])).astype(lse_ref.dtype)
+    lse_ref[0, 0, 0] = (m[:, 0] + jnp.log(l[:, 0])).astype(lse_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, do_ref, lse_ref,
@@ -61,15 +63,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, do_ref, lse_ref,
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
-    mask = mask_ref[0] != 0
+    mf = mask_ref[0]
     o = o_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0].astype(jnp.float32)             # (BQ,)
+    lse = lse_ref[0, 0, 0].astype(jnp.float32)          # (BQ,)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
-    s = jnp.where(mask, s, NEG_INF)
-    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # (BQ, LK)
+    s = s * mf + NEG_INF * (1.0 - mf)
+    p = jnp.exp(s - lse[:, None]) * mf                  # (BQ, LK)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     delta = jnp.sum(do * o, axis=-1, keepdims=True)
@@ -84,15 +86,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, do_ref, lse_ref,
     q = q_ref[0, 0].astype(jnp.float32)                 # (LQ, D)
     k = k_ref[0, 0].astype(jnp.float32)                 # (BK, D)
     v = v_ref[0, 0].astype(jnp.float32)
-    mask = mask_ref[0] != 0                             # (LQ, BK)
+    mf = mask_ref[0]                                    # (LQ, BK)
     o = o_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0].astype(jnp.float32)             # (LQ,)
+    lse = lse_ref[0, 0, 0].astype(jnp.float32)          # (LQ,)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
-    s = jnp.where(mask, s, NEG_INF)
-    p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # (LQ, BK)
+    s = s * mf + NEG_INF * (1.0 - mf)
+    p = jnp.exp(s - lse[:, None]) * mf                  # (LQ, BK)
     dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -136,12 +138,12 @@ def _fwd(q, k, v, mask, sm_scale, block_q, interpret):
     bq = min(block_q, lq)
 
     qp = _pad_to(q, 2, bq)
-    maskp = _pad_to(mask.astype(jnp.int8), 1, bq)
+    maskp = _pad_to(mask.astype(jnp.float32), 1, bq)
     lqp = qp.shape[2]
     grid = (b, h, lqp // bq)
 
     out_shape = (jax.ShapeDtypeStruct((b, h, lqp, d), q.dtype),
-                 jax.ShapeDtypeStruct((b, h, lqp), jnp.float32))
+                 jax.ShapeDtypeStruct((b, h, 1, lqp), jnp.float32))
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=scale),
         grid=grid,
@@ -153,12 +155,12 @@ def _fwd(q, k, v, mask, sm_scale, block_q, interpret):
         ],
         out_specs=(
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, bq), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
         ),
         out_shape=out_shape,
         interpret=interpret,
     )(qp, k, v, maskp)
-    return o[:, :, :lq], lse[:, :, :lq]
+    return o[:, :, :lq], lse[:, :, :, :lq]
 
 
 def _flash_fwd_rule(q, k, v, mask, sm_scale, block_q, interpret):
@@ -178,8 +180,8 @@ def _flash_bwd_rule(sm_scale, block_q, interpret, res, do):
     qp = _pad_to(q, 2, bq)
     op = _pad_to(o, 2, bq)
     dop = _pad_to(do, 2, bq)
-    lsep = _pad_to(lse, 2, bq)
-    maskq = _pad_to(mask.astype(jnp.int8), 1, bq)
+    lsep = _pad_to(lse, 3, bq)
+    maskq = _pad_to(mask.astype(jnp.float32), 1, bq)
     lqp = qp.shape[2]
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=scale),
@@ -191,7 +193,7 @@ def _flash_bwd_rule(sm_scale, block_q, interpret, res, do):
             pl.BlockSpec((1, bq, lk), lambda bi, hi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, bq), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -202,7 +204,7 @@ def _flash_bwd_rule(sm_scale, block_q, interpret, res, do):
     # ---- dk/dv: tile over k blocks, Q/dO resident ----
     kp = _pad_to(k, 2, bk)
     vp = _pad_to(v, 2, bk)
-    maskk = _pad_to(mask.astype(jnp.int8), 2, bk)
+    maskk = _pad_to(mask.astype(jnp.float32), 2, bk)
     lkp = kp.shape[2]
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=scale),
@@ -214,7 +216,7 @@ def _flash_bwd_rule(sm_scale, block_q, interpret, res, do):
             pl.BlockSpec((1, lq, bk), lambda bi, hi, ki: (bi, 0, ki)),
             pl.BlockSpec((1, 1, lq, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, lq, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, lq), lambda bi, hi, ki: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, 1, lq), lambda bi, hi, ki: (bi, hi, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
