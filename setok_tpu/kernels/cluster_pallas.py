@@ -76,8 +76,8 @@ def _density_kernel(x_tile_ref, x_all_ref, out_ref, *, k, n_valid, c_scale):
     below = (d2 <= lo).astype(jnp.float32)
     n_below = jnp.sum(below, axis=-1, keepdims=True)
     need = jnp.maximum(k - n_below, 0.0)
-    sum_k = jnp.sum(d2 * below, axis=-1, keepdims=True) + hi * need
-    out_ref[...] = jnp.exp(-(sum_k / k))  # (BR, 1)
+    sum_k = jnp.sum(d2 * below, axis=-1) + hi[:, 0] * need[:, 0]
+    out_ref[...] = jnp.exp(-(sum_k / k))[None, :]  # (1, BR)
 
 
 def _parent_kernel(x_tile_ref, x_all_ref, dens_tile_ref, dens_all_ref,
@@ -85,8 +85,8 @@ def _parent_kernel(x_tile_ref, x_all_ref, dens_tile_ref, dens_all_ref,
     """Row tile of parent distances: min dist to any higher-density token."""
     xt = x_tile_ref[...].astype(jnp.float32)
     xa = x_all_ref[...].astype(jnp.float32)
-    dt = dens_tile_ref[...].astype(jnp.float32)[:, 0]        # (BR,)
-    da = dens_all_ref[...].astype(jnp.float32)[:, 0]         # (N,)
+    dt = dens_tile_ref[...].astype(jnp.float32)[0, :]        # (BR,) lane-major
+    da = dens_all_ref[...].astype(jnp.float32)[0, :]         # (N,) lane-major
     br = xt.shape[0]
     n = xa.shape[0]
 
@@ -102,9 +102,11 @@ def _parent_kernel(x_tile_ref, x_all_ref, dens_tile_ref, dens_all_ref,
     d2 = jnp.where(cols == rows, 0.0, d2)
     dist = jnp.sqrt(d2)
 
-    higher = (da[None, :] > dt[:, None]) & (cols < n_valid)
-    parent = jnp.min(jnp.where(higher, dist, dist_max), axis=-1)
-    out_ref[...] = parent[:, None]
+    # arithmetic masking (bool vectors trip Mosaic relayouts)
+    higher = ((da[None, :] > dt[:, None])
+              & (cols < n_valid)).astype(jnp.float32)
+    parent = jnp.min(dist * higher + dist_max * (1.0 - higher), axis=-1)
+    out_ref[...] = parent[None, :]
 
 
 def _pad_rows(x, mult):
@@ -129,10 +131,10 @@ def dpc_density_parent(x: jnp.ndarray, k: int, block_rows: int = 128,
         grid=(npad // br,),
         in_specs=[pl.BlockSpec((br, c), lambda i: (i, 0)),
                   pl.BlockSpec((npad, c), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((br, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, br), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
         interpret=interpret,
-    )(xp, xp)[:n, 0]
+    )(xp, xp)[0, :n]
 
     # deterministic tie-break, as in ops.clustering
     density = density + (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 1e-6
@@ -145,19 +147,19 @@ def dpc_density_parent(x: jnp.ndarray, k: int, block_rows: int = 128,
                      0.0) * c_scale
     dist_max = jnp.sqrt(jnp.max(d2))
 
-    dens_p = _pad_rows(density, br)[:, None]
+    dens_p = _pad_rows(density, br)[None, :]               # (1, npad) rows
     parent = pl.pallas_call(
         functools.partial(_parent_kernel, n_valid=n, c_scale=c_scale,
                           dist_max=1e30),
         grid=(npad // br,),
         in_specs=[pl.BlockSpec((br, c), lambda i: (i, 0)),
                   pl.BlockSpec((npad, c), lambda i: (0, 0)),
-                  pl.BlockSpec((br, 1), lambda i: (i, 0)),
-                  pl.BlockSpec((npad, 1), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((br, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+                  pl.BlockSpec((1, br), lambda i: (0, i)),
+                  pl.BlockSpec((1, npad), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((1, br), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
         interpret=interpret,
-    )(xp, xp, dens_p, dens_p)[:n, 0]
+    )(xp, xp, dens_p, dens_p)[0, :n]
     parent = jnp.minimum(parent, dist_max)
 
     return density, parent, dist_max
