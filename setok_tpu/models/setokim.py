@@ -89,6 +89,16 @@ class Setokim(nn.Module):
                                  param_dtype=self.param_dtype)
 
     # ------------------------------------------------------------------
+    def tokenize(self, images, *, deterministic=True):
+        """Vision-tower concept tokens (SeTok encode). Parity:
+        get_vision_tower() access, setokim_arch.py:191-192."""
+        return self.vision_tower(images, deterministic=deterministic)
+
+    def detokenize(self, tokens, token_valid=None, *, deterministic=True):
+        """Render concept tokens to pixels (vision generator)."""
+        return self.vision_generator(tokens, token_valid,
+                                     deterministic=deterministic)
+
     def encode_images(self, images, *, deterministic=True):
         """images (N, H, W, 3) → (N, k_max, llama_hidden), valid (N, k_max).
 
