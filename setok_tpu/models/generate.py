@@ -29,11 +29,26 @@ class GenerateOutput(NamedTuple):
     done: jnp.ndarray       # (B,) finished flags
 
 
+def _top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering: mask tokens outside the smallest set with
+    cumulative probability ≥ top_p."""
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while the cumulative mass *before* them is < top_p
+    keep_sorted = (cum - probs) < top_p
+    # threshold = smallest kept logit
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                     axis=-1, keepdims=True)
+    return jnp.where(logits >= thresh, logits, -jnp.inf)
+
+
 def generate_text(model: Setokim, params, input_ids, images,
                   max_new_tokens: int, rng: Optional[jax.Array] = None,
-                  temperature: float = 0.0, eos_id: int = 2,
-                  pad_id: int = 0) -> GenerateOutput:
-    """Greedy (temperature=0) or sampled decode with KV cache.
+                  temperature: float = 0.0, top_p: float = 1.0,
+                  eos_id: int = 2, pad_id: int = 0) -> GenerateOutput:
+    """Greedy (temperature=0) or temperature/top-p sampled decode with a
+    KV cache.
 
     input_ids: (B, L) collator layout (image slots pre-expanded).
     """
@@ -49,7 +64,10 @@ def generate_text(model: Setokim, params, input_ids, images,
     def sample(logits, key):
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1)
-        return jax.random.categorical(key, logits / temperature, axis=-1)
+        logits = logits / temperature
+        if top_p < 1.0:
+            logits = _top_p_filter(logits, top_p)
+        return jax.random.categorical(key, logits, axis=-1)
 
     def step(carry, key):
         tok, cache, cache_valid, next_pos, done = carry
