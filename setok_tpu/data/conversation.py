@@ -130,6 +130,38 @@ conv_llava_plain = Conversation(
     system="", roles=("", ""), messages=[], offset=0,
     sep_style=SeparatorStyle.PLAIN, sep="\n", version="plain")
 
+conv_llava_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+           "assistant. The assistant gives helpful, detailed, and polite "
+           "answers to the human's questions.",
+    roles=("Human", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.SINGLE, sep="###")
+
+conv_llava_v1 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+           "assistant. The assistant gives helpful, detailed, and polite "
+           "answers to the human's questions.",
+    roles=("USER", "ASSISTANT"), messages=[], offset=0,
+    sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>", version="v1")
+
+conv_llava_llama_2 = Conversation(
+    system="You are a helpful language and vision assistant. You are able "
+           "to understand the visual content that the user provides, and "
+           "assist the user with a variety of tasks using natural language.",
+    roles=("USER", "ASSISTANT"), messages=[], offset=0,
+    sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>",
+    version="llama_v2")
+
+conv_mistral_instruct = Conversation(
+    system="", roles=("USER", "ASSISTANT"), messages=[], offset=0,
+    sep_style=SeparatorStyle.LLAMA_2, sep="", sep2="</s>",
+    version="llama_v2")
+
+conv_chatml_direct = Conversation(
+    system="<|im_start|>system\nAnswer the questions.",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"), messages=[],
+    offset=0, sep_style=SeparatorStyle.MPT, sep="<|im_end|>", version="mpt")
+
 default_conversation = conv_vicuna_v1
 
 conv_templates = {
@@ -138,7 +170,13 @@ conv_templates = {
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
     "llama_2": conv_llama_2,
-    "mpt": conv_mpt,
+    "mistral_instruct": conv_mistral_instruct,
+    "chatml_direct": conv_chatml_direct,
+    "mistral_direct": conv_chatml_direct,
     "plain": conv_llava_plain,
     "v0_plain": conv_llava_plain,
+    "llava_v0": conv_llava_v0,
+    "llava_v1": conv_llava_v1,
+    "llava_llama_2": conv_llava_llama_2,
+    "mpt": conv_mpt,
 }

@@ -68,11 +68,13 @@ class Setokim(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False                   # Pallas attention in the trunk
 
     def setup(self):
         cfg = self.cfg
         self.llama = LlamaForCausalLM(cfg.llama, self.dtype,
-                                      self.param_dtype, remat=self.remat)
+                                      self.param_dtype, remat=self.remat,
+                                      use_flash=self.use_flash)
         self.vision_tower = SetokTokenizer(cfg.tokenizer,
                                            freeze_backbone=True,
                                            dtype=self.dtype,

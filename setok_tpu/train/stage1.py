@@ -101,8 +101,9 @@ class Stage1Trainer:
         disc_params = self.disc.init(k2, gold)
         text = sample_batch.get("text_emb")
         if text is None:
+            # contrastive shares the concept-token space (loss init only)
             text = jnp.zeros((images.shape[0],
-                              self.contrastive_cfg.text_embed_dim))
+                              self.tokenizer_cfg.token_feat_dim))
         ctr_params = self.contrastive.init(
             k3, jnp.zeros((images.shape[0], self.tokenizer_cfg.token_feat_dim)),
             text)
