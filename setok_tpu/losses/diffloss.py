@@ -57,16 +57,20 @@ class DiffLoss(nn.Module):
         return jnp.mean(loss)
 
     def sample(self, z: jnp.ndarray, rng: jax.Array, temperature: float = 1.0,
-               cfg: float = 1.0) -> jnp.ndarray:
+               cfg=1.0, use_cfg: Optional[bool] = None) -> jnp.ndarray:
         """Draw token latents conditioned on z: (N, Z) → (N, C).
 
-        Parity: diffloss.py:35-52. For cfg≠1 the caller passes z already
+        Parity: diffloss.py:35-52. For CFG the caller passes z already
         duplicated [cond; uncond] (setokim sampling does this, mirroring
         setokim_llama.py:236-241); the noise is shared across both halves.
+        `cfg` may be a traced scalar (the Muse per-iteration schedule,
+        setokim_llama.py:248-251); `use_cfg` pins the static branch then.
         """
         c = self.cfg.target_channels
         noise_rng, loop_rng = jax.random.split(rng)
-        if cfg != 1.0:
+        if use_cfg is None:
+            use_cfg = not (isinstance(cfg, (int, float)) and cfg == 1.0)
+        if use_cfg:
             noise = jax.random.normal(noise_rng, (z.shape[0] // 2, c))
             noise = jnp.concatenate([noise, noise], axis=0)
             model = lambda x, t, c_: self.net.forward_with_cfg(x, t, c_, cfg)

@@ -114,19 +114,29 @@ class Setokim(nn.Module):
 
         input_ids: (B, L) with IMAGE_TOKEN_INDEX at pre-reserved image slots
         (k_max per image, from the collator) and 0/pad elsewhere as needed.
-        images: (B, H, W, 3) — one image per sample (reference datasets are
-        single-image; multi-image generalizes by flattening the image axis).
+        images: (B, H, W, 3) single image per sample, or (B, M, H, W, 3)
+        multi-image — slot rank order matches image order (the reference
+        splices image_features in encounter order, setokim_arch.py:287-299).
         """
         b, l = input_ids.shape
         k_max = self.cfg.tokenizer.k_max
 
-        img_feats, img_valid = self.encode_images(
-            images, deterministic=deterministic)          # (B, k_max, D)
+        if images.ndim == 5:
+            m = images.shape[1]
+            flat = images.reshape(b * m, *images.shape[2:])
+            f, v = self.encode_images(flat, deterministic=deterministic)
+            img_feats = f.reshape(b, m * k_max, -1)
+            img_valid = v.reshape(b, m * k_max)
+            n_slots = m * k_max
+        else:
+            img_feats, img_valid = self.encode_images(
+                images, deterministic=deterministic)      # (B, k_max, D)
+            n_slots = k_max
 
         is_image = input_ids == IMAGE_TOKEN_INDEX          # (B, L)
-        # rank of each image slot within its row: 0..k_max-1
+        # rank of each image slot within its row: 0..n_slots-1
         slot_rank = jnp.cumsum(is_image.astype(jnp.int32), axis=1) - 1
-        slot_rank = jnp.clip(slot_rank, 0, k_max - 1)
+        slot_rank = jnp.clip(slot_rank, 0, n_slots - 1)
 
         text_emb = self.llama.embed(input_ids)             # clips negatives
         gathered = jnp.take_along_axis(img_feats, slot_rank[..., None],
@@ -313,19 +323,21 @@ class Setokim(nn.Module):
                 mask_to_pred = jnp.logical_xor(mask, mask_next)
             mask = mask_next
 
-            # CFG schedule follows Muse (linear) — setokim_llama.py:248-251
-            cfg_iter = 1.0 + (cfg_scale - 1.0) * (seq_len - mask_len) / seq_len
+            # CFG schedule follows Muse (linear) — setokim_llama.py:248-251;
+            # cfg_iter is per-batch-row (mask_len varies), reference uses
+            # mask_len[0]'s scalar — match that
+            cfg_iter = 1.0 + (cfg_scale - 1.0) * (seq_len
+                                                  - mask_len[0]) / seq_len
             rng, rk = jax.random.split(rng)
             flat_z = z_all.reshape(b * seq_len, -1)
             if cfg_scale != 1.0:
                 flat_z = jnp.concatenate(
                     [flat_z, jnp.zeros_like(flat_z)], axis=0)
-                sampled = self.diffloss.sample(
-                    flat_z, rk, temperature, float(cfg_scale))
+                sampled = self.diffloss.sample(flat_z, rk, temperature,
+                                               cfg_iter, use_cfg=True)
                 sampled = sampled[: b * seq_len]
             else:
                 sampled = self.diffloss.sample(flat_z, rk, temperature, 1.0)
-            del cfg_iter  # per-step scalar CFG needs scalar plumbing; fixed-scale for now
             sampled = sampled.reshape(b, seq_len, c_dim)
             tokens = jnp.where(mask_to_pred[..., None], sampled, tokens)
         return tokens

@@ -135,6 +135,29 @@ def test_prefill_decode_matches_full_forward(model_and_params):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_multi_image_splicing(model_and_params):
+    """(B, M, H, W, 3) images: slots fill in encounter order."""
+    model, params = model_and_params
+    rs = np.random.RandomState(5)
+    k_max = 8
+    ids = np.zeros((1, 2 * k_max + 4), np.int64)
+    ids[0, 0] = 1
+    ids[0, 1:1 + k_max] = IMAGE_TOKEN_INDEX          # image 0 slots
+    ids[0, 2 + k_max:2 + 2 * k_max] = IMAGE_TOKEN_INDEX  # image 1 slots
+    ids[0, 1 + k_max] = 42                            # a token in between
+    imgs = jnp.asarray(rs.rand(1, 2, 32, 32, 3).astype(np.float32) * 2 - 1)
+
+    embeds, valid, _ = model.apply(params, jnp.asarray(ids), imgs,
+                                   method=model.prepare_multimodal)
+    f0, _ = model.apply(params, imgs[:, 0], method=model.encode_images)
+    f1, _ = model.apply(params, imgs[:, 1], method=model.encode_images)
+    np.testing.assert_allclose(np.asarray(embeds[0, 1:1 + k_max]),
+                               np.asarray(f0[0]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(embeds[0, 2 + k_max:2 + 2 * k_max]),
+        np.asarray(f1[0]), atol=1e-5)
+
+
 def test_mask_by_order():
     orders = jnp.asarray([[2, 0, 1, 3]])
     m = np.asarray(mask_by_order(jnp.asarray([2]), orders, 4))
@@ -150,6 +173,11 @@ def test_sample_image_tokens_and_render(model_and_params):
                        method=model.sample_image_tokens)
     assert toks.shape == (1, 8, model.cfg.diffloss.target_channels)
     assert np.isfinite(np.asarray(toks)).all()
+    # CFG path with the Muse per-iteration schedule
+    toks_cfg = model.apply(params, cond, jax.random.PRNGKey(0), 4, 2.0,
+                           method=model.sample_image_tokens)
+    assert toks_cfg.shape == toks.shape
+    assert np.isfinite(np.asarray(toks_cfg)).all()
     img = model.apply(params, toks, method=model.render_image)
     assert img.image.shape == (1, 32, 32, 3)
 
