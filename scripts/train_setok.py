@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--image-folder", default="")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples instead of a dataset")
+    p.add_argument("--tokenizer", default=None,
+                   help="local HF tokenizer path (word-hash fallback)")
     p.add_argument("--output-dir", default="/tmp/setok_stage1")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=24)
@@ -109,11 +111,11 @@ def main():
         from setok_tpu.data.datasets import TextImagePairDataset, load_cc3m
         from setok_tpu.data.image_processing import (GeneratorImageProcessor,
                                                      ImageProcessor)
-        from tests.test_data import ToyTokenizer  # placeholder LLM tokenizer
+        from setok_tpu.data.tokenizer import load_text_tokenizer
 
         records = load_cc3m(args.data_path, args.image_folder)
         ds = TextImagePairDataset(
-            records, ToyTokenizer(), contrastive_tokenizer=ToyTokenizer(),
+            records, load_text_tokenizer(args.tokenizer), contrastive_tokenizer=load_text_tokenizer(args.tokenizer),
             task_type=args.task_type,
             image_processor=ImageProcessor(size=args.image_size),
             gen_processor=GeneratorImageProcessor(size=args.image_size))

@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--task-type", default="instruction",
                    choices=["pair", "instruction", "edit"])
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--tokenizer", default=None,
+                   help="local HF tokenizer path (word-hash fallback)")
     p.add_argument("--output-dir", default="/tmp/setokim_train")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=32)
@@ -133,7 +135,7 @@ def main():
                                              load_cc3m)
         from setok_tpu.data.image_processing import (GeneratorImageProcessor,
                                                      ImageProcessor)
-        from tests.test_data import ToyTokenizer
+        from setok_tpu.data.tokenizer import load_text_tokenizer
 
         size = cfg.tokenizer.vit.image_size
         kw = dict(image_processor=ImageProcessor(size=size),
@@ -141,15 +143,15 @@ def main():
                   target_num=cfg.target_num)
         if args.task_type == "pair":
             ds = TextImagePairDataset(load_cc3m(args.data_path[0]),
-                                      ToyTokenizer(),
+                                      load_text_tokenizer(args.tokenizer),
                                       task_type="generation", **kw)
         elif args.task_type == "edit":
             import json
             ds = EditingDataset(json.load(open(args.data_path[0])),
-                                ToyTokenizer(), **kw)
+                                load_text_tokenizer(args.tokenizer), **kw)
         else:
             ds = InstructionTuningDataset(
-                args.dataset_name, args.data_path, ToyTokenizer(),
+                args.dataset_name, args.data_path, load_text_tokenizer(args.tokenizer),
                 image_folders=args.image_folder,
                 data_multiple=args.data_multiple, **kw)
         col = Collator(max_len=args.model_max_length,

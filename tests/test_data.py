@@ -162,3 +162,16 @@ def test_modality_grouped_sampler_covers_all():
 def test_pad_or_truncate():
     assert pad_or_truncate([1, 2], 4).tolist() == [1, 2, 0, 0]
     assert pad_or_truncate([1, 2, 3, 4, 5], 3).tolist() == [1, 2, 3]
+
+
+def test_word_tokenizer_roundtrip():
+    from setok_tpu.data.tokenizer import WordTokenizer, load_text_tokenizer
+    tok = WordTokenizer()
+    ids = tok.encode("a red bird")
+    assert ids[0] == tok.bos_token_id and len(ids) == 4
+    assert tok.encode("a red bird") == ids          # deterministic
+    n = tok.add_tokens(["<target>", "<im_start>"])
+    assert n == 2
+    assert tok.convert_tokens_to_ids("<target>") >= tok.vocab_size
+    assert load_text_tokenizer(None).encode("x") == \
+        WordTokenizer().encode("x")
