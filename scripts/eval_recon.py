@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Reconstruction-quality eval: PSNR / SSIM (+ optional FID) over a folder
+of images through the SeTok encode→cluster→decode path.
+
+This is the harness that produces the BASELINE.md north-star numbers once
+pretrained weights are ported (recon parity within 1% of the reference).
+`--synthetic N` exercises the loop without data or weights.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--image-folder", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--fid", action="store_true",
+                   help="also compute FID with frozen-ViT features")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from setok_tpu import config as cfgs
+    from setok_tpu.data.image_processing import GeneratorImageProcessor
+    from setok_tpu.models.setok import SeTok
+    from setok_tpu.utils.metrics import compute_fid, psnr, ssim
+
+    tok_cfg = cfgs.tiny_tokenizer() if args.tiny else cfgs.base_tokenizer()
+    det_cfg = (cfgs.tiny_detokenizer() if args.tiny
+               else cfgs.base_detokenizer())
+    model = SeTok(tok_cfg, det_cfg)
+    size = tok_cfg.vit.image_size
+
+    if args.synthetic:
+        rs = np.random.RandomState(0)
+        images = (rs.rand(args.synthetic, size, size, 3) * 2 - 1
+                  ).astype(np.float32)
+    else:
+        from PIL import Image
+        proc = GeneratorImageProcessor(size=size)
+        paths = sorted(sum((glob.glob(os.path.join(args.image_folder, e))
+                            for e in ("*.jpg", "*.png", "*.jpeg")), []))
+        if args.limit:
+            paths = paths[: args.limit]
+        images = np.stack([proc(Image.open(p)) for p in paths])
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.asarray(images[:1]))
+    if args.checkpoint:
+        from setok_tpu.utils.checkpoint import load_subtree
+        params = load_subtree(args.checkpoint, params)
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    recons, psnrs, ssims, ncs = [], [], [], []
+    for i in range(0, len(images), args.batch_size):
+        x = jnp.asarray(images[i:i + args.batch_size])
+        out = fwd(params, x)
+        recons.append(np.asarray(out.recon, np.float32))
+        psnrs.append(float(psnr(out.recon, x)))
+        ssims.append(float(ssim(out.recon, x)))
+        ncs.append(float(jnp.mean(out.num_clusters.astype(jnp.float32))))
+
+    result = {"n": int(len(images)),
+              "psnr": float(np.mean(psnrs)),
+              "ssim": float(np.mean(ssims)),
+              "mean_clusters": float(np.mean(ncs))}
+
+    if args.fid:
+        feat_model = model  # frozen tokenizer pooled tokens as features
+        def feats(imgs):
+            out = model.apply(params, jnp.asarray(imgs),
+                              method=model.tokenize)
+            denom = jnp.maximum(
+                jnp.sum(out.token_valid, -1, keepdims=True), 1)
+            pooled = (jnp.sum(out.tokens * out.token_valid[..., None], 1)
+                      / denom)
+            return np.asarray(pooled, np.float32)
+        result["fid_vitfeat"] = compute_fid(
+            images, np.concatenate(recons), feats,
+            batch_size=args.batch_size)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

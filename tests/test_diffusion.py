@@ -139,6 +139,32 @@ def test_p_sample_loop_matches_reference_sampler():
                                atol=1e-4)
 
 
+def test_ddim_sample_loop_matches_reference():
+    """DDIM chain parity (eta=0 deterministic) vs reference torch DDIM."""
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    ours = create_diffusion(timestep_respacing="ddim10",
+                            noise_schedule="cosine")
+    theirs = ref_diffusion.create_diffusion(timestep_respacing="ddim10",
+                                            noise_schedule="cosine")
+
+    def model_np(x, t):
+        return np.concatenate([0.1 * x + 0.05, np.zeros_like(x)], axis=1)
+
+    def model_jnp(x, t):
+        return jnp.concatenate([0.1 * x + 0.05, jnp.zeros_like(x)], axis=1)
+
+    noise = np.random.RandomState(3).randn(4, 8).astype(np.float32)
+    got = ours.ddim_sample_loop(model_jnp, noise.shape, jnp.asarray(noise),
+                                jax.random.PRNGKey(0), eta=0.0)
+    with torch.no_grad():
+        want = theirs.ddim_sample_loop(
+            lambda x, t: torch.tensor(model_np(x.numpy(), t.numpy())),
+            noise.shape, torch.tensor(noise), clip_denoised=False,
+            model_kwargs={}, progress=False, eta=0.0)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-3,
+                               atol=1e-4)
+
+
 def test_p_sample_loop_runs_and_is_deterministic():
     diff = create_diffusion(timestep_respacing="10", noise_schedule="cosine")
     model = lambda x, t: jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=1)
