@@ -22,7 +22,7 @@ and PREVIOUS_X prediction are intentionally out of scope.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Sequence, Set, Union
 
 import numpy as np

@@ -29,7 +29,7 @@ with CE + diffusion branch, MaskGIT sampling). Re-architected static-shaped:
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ that divides the data-axis size; replicate anything too small to matter
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

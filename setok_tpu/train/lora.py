@@ -14,7 +14,7 @@ is exactly peft's trainable-parameter split.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
