@@ -68,6 +68,39 @@ def main():
     print(f"t_small={t_small:.3f}s t_big={t_big:.3f}s", file=sys.stderr)
 
     images_per_sec = BATCH * (ITERS_BIG - ITERS_SMALL) / dt
+
+    # int8 inference variant (same params, quant8 Dense path) — secondary
+    # number on stderr; headline stays bf16 (recon-parity mode)
+    try:
+        model8 = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16, quant8=True)
+
+        def chained8(params, images, iters):
+            def body(x, _):
+                out = model8.apply(params, x)
+                nxt = images + 1e-6 * out.recon.astype(images.dtype)
+                return nxt, jnp.sum(out.num_clusters)
+            _, ncs = jax.lax.scan(body, images, None, length=iters)
+            return jnp.sum(ncs)
+
+        bench8 = jax.jit(chained8, static_argnums=2)
+
+        def timed8(iters, seed):
+            imgs = jax.random.uniform(jax.random.PRNGKey(seed), shape,
+                                      jnp.float32, -1.0, 1.0)
+            t0 = time.perf_counter()
+            float(bench8(params, imgs, iters))
+            return time.perf_counter() - t0
+
+        timed8(ITERS_SMALL, 200)
+        timed8(ITERS_BIG, 201)
+        t8s = min(timed8(ITERS_SMALL, 11), timed8(ITERS_SMALL, 12))
+        t8b = min(timed8(ITERS_BIG, 13), timed8(ITERS_BIG, 14))
+        ips8 = BATCH * (ITERS_BIG - ITERS_SMALL) / (t8b - t8s)
+        print(f"int8 inference variant: {ips8:.1f} images/sec",
+              file=sys.stderr)
+    except Exception as e:                     # noqa: BLE001
+        print(f"int8 variant failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "setok_tokenizer_throughput_256px_encode_cluster_decode",
         "value": round(images_per_sec, 2),

@@ -50,6 +50,7 @@ def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
 
 class SetokDeTokenizer(nn.Module):
     cfg: DetokenizerConfig
+    quant8: bool = False    # int8 inference path for the decoder blocks
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -90,7 +91,8 @@ class SetokDeTokenizer(nn.Module):
         for i in range(cfg.decoder_depth):
             x = ViTBlock(num_heads=cfg.decoder_nheads,
                          mlp_ratio=cfg.mlp_ratio, proj_drop=cfg.proj_drop,
-                         attn_drop=cfg.attn_drop, dtype=self.dtype,
+                         attn_drop=cfg.attn_drop, quant8=self.quant8,
+                         dtype=self.dtype,
                          param_dtype=self.param_dtype,
                          name=f"pixel_decoder_{i}")(x, deterministic=deterministic)
         hidden = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,

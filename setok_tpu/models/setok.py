@@ -36,15 +36,18 @@ class SeTok(nn.Module):
     tokenizer_cfg: TokenizerConfig
     detokenizer_cfg: DetokenizerConfig
     freeze_backbone: bool = True
+    quant8: bool = False    # int8 inference (frozen weights) — see ops.Dense
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.tokenizer = SetokTokenizer(self.tokenizer_cfg,
                                         freeze_backbone=self.freeze_backbone,
+                                        quant8=self.quant8,
                                         dtype=self.dtype,
                                         param_dtype=self.param_dtype)
         self.detokenizer = SetokDeTokenizer(self.detokenizer_cfg,
+                                            quant8=self.quant8,
                                             dtype=self.dtype,
                                             param_dtype=self.param_dtype)
 

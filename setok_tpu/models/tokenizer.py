@@ -42,12 +42,14 @@ class TokenizerOutput(NamedTuple):
 class SetokTokenizer(nn.Module):
     cfg: TokenizerConfig
     freeze_backbone: bool = True
+    quant8: bool = False    # int8 inference for the frozen matmuls
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         cfg = self.cfg
-        self.image_feature_encoder = ViT(cfg.vit, dtype=self.dtype,
+        self.image_feature_encoder = ViT(cfg.vit, quant8=self.quant8,
+                                         dtype=self.dtype,
                                          param_dtype=self.param_dtype)
         # The reference assumes vit width == hidden_dim (it adds the pos-emb
         # and feeds encoders in place, tokenizer.py:164-180, which only works
@@ -60,13 +62,15 @@ class SetokTokenizer(nn.Module):
                                    mlp_hidden_dim=cfg.dim_feedforward,
                                    depth=cfg.inner_cluster_layers,
                                    proj_drop=cfg.proj_drop,
-                                   attn_drop=cfg.attn_drop, dtype=self.dtype,
+                                   attn_drop=cfg.attn_drop,
+                                   quant8=self.quant8, dtype=self.dtype,
                                    param_dtype=self.param_dtype)
         self.inter_encoder = Block(num_heads=cfg.nheads,
                                    mlp_hidden_dim=cfg.dim_feedforward,
                                    depth=cfg.intra_cluster_layers,
                                    proj_drop=cfg.proj_drop,
-                                   attn_drop=cfg.attn_drop, dtype=self.dtype,
+                                   attn_drop=cfg.attn_drop,
+                                   quant8=self.quant8, dtype=self.dtype,
                                    param_dtype=self.param_dtype)
         self.out = nn.Dense(cfg.token_feat_dim, dtype=self.dtype,
                             param_dtype=self.param_dtype)

@@ -30,6 +30,7 @@ class ViTEncoderBlock(nn.Module):
 
     num_heads: int
     mlp_ratio: float
+    quant8: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -39,11 +40,13 @@ class ViTEncoderBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm1")(x)
         x = x + Attention(num_heads=self.num_heads, qkv_bias=True,
+                          quant8=self.quant8,
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           name="attn")(y, deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm2")(x)
-        x = x + Mlp(hidden_features=int(c * self.mlp_ratio), dtype=self.dtype,
+        x = x + Mlp(hidden_features=int(c * self.mlp_ratio),
+                    quant8=self.quant8, dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name="mlp")(y, deterministic=deterministic)
         return x
@@ -57,6 +60,7 @@ class ViT(nn.Module):
     """
 
     cfg: ViTConfig
+    quant8: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -89,7 +93,8 @@ class ViT(nn.Module):
         taps = []
         for i in range(cfg.depth):
             x = ViTEncoderBlock(num_heads=cfg.num_heads,
-                                mlp_ratio=cfg.mlp_ratio, dtype=self.dtype,
+                                mlp_ratio=cfg.mlp_ratio, quant8=self.quant8,
+                                dtype=self.dtype,
                                 param_dtype=self.param_dtype,
                                 name=f"block_{i}")(x, deterministic=deterministic)
             taps.append(x)

@@ -29,6 +29,40 @@ Dtype = jnp.dtype
 NEG_INF = -1e30
 
 
+class Dense(nn.Module):
+    """nn.Dense-compatible layer (same param names/shapes) with an optional
+    int8 path: weights quantize on the fly (cheap: O(K·N) vs the O(M·K·N)
+    matmul) and the w8a8 Pallas kernel runs the MXU at int8 rate — the
+    isolated kernel measures ~1.6× over peak-bf16 at (8192, 768, 3072) on
+    v5e, but end-to-end SeTok inference is currently a wash (per-matmul
+    activation quantization overhead); see ROADMAP.md for the fused plan.
+    Inference-only mode for frozen weights (no gradient path)."""
+
+    features: int
+    use_bias: bool = True
+    quant8: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        if self.quant8:
+            from setok_tpu.kernels.quant_matmul import (quant_dense,
+                                                        quantize_weight)
+            interpret = jax.devices()[0].platform != "tpu"
+            return quant_dense(x.astype(self.dtype),
+                               quantize_weight(kernel),
+                               bias, interpret=interpret)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def mask_to_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32) -> Optional[jnp.ndarray]:
     """Boolean attention mask (True = attend) → additive bias."""
     if mask is None:
@@ -43,18 +77,19 @@ class Mlp(nn.Module):
     out_features: Optional[int] = None
     act: Callable = nn.gelu
     drop: float = 0.0
+    quant8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
-        x = nn.Dense(self.hidden_features, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="fc1")(x)
+        x = Dense(self.hidden_features, quant8=self.quant8, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="fc1")(x)
         x = self.act(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(out_features, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="fc2")(x)
+        x = Dense(out_features, quant8=self.quant8, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -71,6 +106,7 @@ class Attention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    quant8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -81,8 +117,9 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="qkv")(x)
+        qkv = Dense(c * 3, use_bias=self.qkv_bias, quant8=self.quant8,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="qkv")(x)
         qkv = qkv.reshape(*batch, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, -3, 0)          # each (*batch, n, H, hd)
 
@@ -96,8 +133,8 @@ class Attention(nn.Module):
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
         out = jnp.einsum("...hqk,...khd->...qhd", attn, v).reshape(*batch, n, c)
-        out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="proj")(out)
+        out = Dense(c, quant8=self.quant8, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -158,6 +195,7 @@ class Block(nn.Module):
     qk_scale: Optional[float] = None
     proj_drop: float = 0.0
     attn_drop: float = 0.0
+    quant8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -170,12 +208,14 @@ class Block(nn.Module):
         for i in range(self.depth):
             attn = Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                              qk_scale=self.qk_scale, attn_drop=self.attn_drop,
-                             proj_drop=self.proj_drop, dtype=self.dtype,
+                             proj_drop=self.proj_drop, quant8=self.quant8,
+                             dtype=self.dtype,
                              param_dtype=self.param_dtype, name=f"attn_{i}")
             x = x + attn(norm1(x), mask=mask, deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm2")(x)
         x = x + Mlp(hidden_features=self.mlp_hidden_dim, drop=self.proj_drop,
+                    quant8=self.quant8,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="mlp")(y, deterministic=deterministic)
         return x
@@ -193,6 +233,7 @@ class ViTBlock(nn.Module):
     qkv_bias: bool = True
     proj_drop: float = 0.0
     attn_drop: float = 0.0
+    quant8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -204,12 +245,13 @@ class ViTBlock(nn.Module):
                          name="norm1")(x)
         x = x + Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                           attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                          quant8=self.quant8,
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           name="attn")(y, mask=mask, deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm2")(x)
         x = x + Mlp(hidden_features=int(c * self.mlp_ratio),
-                    drop=self.proj_drop, dtype=self.dtype,
+                    drop=self.proj_drop, quant8=self.quant8, dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name="mlp")(y, deterministic=deterministic)
         return x
