@@ -14,6 +14,7 @@ numpy on ids already fetched for the user).
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -43,19 +44,37 @@ def _top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(logits >= thresh, logits, -jnp.inf)
 
 
+@functools.lru_cache(maxsize=64)
+def _text_generation_fn(model: Setokim, max_new_tokens: int,
+                        temperature: float, top_p: float, eos_id: int,
+                        pad_id: int):
+    """One jitted graph for the whole prefill+decode loop (the hosted-TPU
+    tunnel has ~30 ms per-dispatch latency; eager generation is unusable).
+    Cached per (model, decode config)."""
+    return jax.jit(functools.partial(
+        _generate_text_impl, model, max_new_tokens=max_new_tokens,
+        temperature=temperature, top_p=top_p, eos_id=eos_id, pad_id=pad_id))
+
+
 def generate_text(model: Setokim, params, input_ids, images,
                   max_new_tokens: int, rng: Optional[jax.Array] = None,
                   temperature: float = 0.0, top_p: float = 1.0,
                   eos_id: int = 2, pad_id: int = 0) -> GenerateOutput:
     """Greedy (temperature=0) or temperature/top-p sampled decode with a
-    KV cache.
-
-    input_ids: (B, L) collator layout (image slots pre-expanded).
+    KV cache. input_ids: (B, L) collator layout (image slots pre-expanded).
     """
-    b, l = input_ids.shape
-    max_len = l + max_new_tokens
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    fn = _text_generation_fn(model, max_new_tokens, temperature, top_p,
+                             eos_id, pad_id)
+    return fn(params, input_ids, images, rng)
+
+
+def _generate_text_impl(model, params, input_ids, images, rng, *,
+                        max_new_tokens, temperature, top_p, eos_id,
+                        pad_id) -> GenerateOutput:
+    b, l = input_ids.shape
+    max_len = l + max_new_tokens
 
     logits0, _, cache, cache_valid, _ = model.apply(
         params, input_ids, images, max_len, method=model.prefill)
@@ -115,6 +134,18 @@ def find_image_spans(ids: np.ndarray, im_start_id: int, im_end_id: int
     return spans
 
 
+@functools.lru_cache(maxsize=64)
+def _image_generation_fn(model: Setokim, num_iter: int, cfg_scale: float,
+                         temperature: float):
+    def fn(params, hidden_span, rng):
+        k1, _ = jax.random.split(rng)
+        tokens = model.apply(params, hidden_span, k1, num_iter, cfg_scale,
+                             temperature, method=model.sample_image_tokens)
+        det = model.apply(params, tokens, method=model.render_image)
+        return det.image
+    return jax.jit(fn)
+
+
 def generate_image(model: Setokim, params, hidden_span: jnp.ndarray,
                    rng: jax.Array, num_iter: int = 16,
                    cfg_scale: float = 1.0, temperature: float = 1.0):
@@ -122,12 +153,9 @@ def generate_image(model: Setokim, params, hidden_span: jnp.ndarray,
 
     Parity: setokim_llama.py:206-264 + the detokenizer render the reference
     leaves implicit (its unpatchify treats LLM hidden as pixels —
-    incoherent; SURVEY.md §7 decision 5)."""
-    k1, _ = jax.random.split(rng)
-    tokens = model.apply(params, hidden_span, k1, num_iter, cfg_scale,
-                         temperature, method=model.sample_image_tokens)
-    det = model.apply(params, tokens, method=model.render_image)
-    return det.image
+    incoherent; SURVEY.md §7 decision 5). Fully jitted (cached per config)."""
+    return _image_generation_fn(model, num_iter, cfg_scale, temperature)(
+        params, hidden_span, rng)
 
 
 def generate(model: Setokim, params, input_ids, images,
@@ -143,7 +171,7 @@ def generate(model: Setokim, params, input_ids, images,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     out = generate_text(model, params, input_ids, images, max_new_tokens,
-                        rng, temperature, eos_id)
+                        rng, temperature=temperature, eos_id=eos_id)
     ids = np.asarray(out.tokens)
     images_out: List[List[np.ndarray]] = [[] for _ in range(ids.shape[0])]
     if im_start_id is not None and im_end_id is not None:
