@@ -95,3 +95,17 @@ def test_full_generate_with_images(setup):
                          num_iter=2)
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sampled_decode_with_top_p(setup):
+    model, params, ids, images = setup
+    out = generate_text(model, params, ids, images, max_new_tokens=4,
+                        rng=jax.random.PRNGKey(3), temperature=0.8,
+                        top_p=0.9, eos_id=-1)
+    assert out.tokens.shape == (2, 4)
+    # sampling is reproducible under the same key
+    out2 = generate_text(model, params, ids, images, max_new_tokens=4,
+                         rng=jax.random.PRNGKey(3), temperature=0.8,
+                         top_p=0.9, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(out.tokens),
+                                  np.asarray(out2.tokens))
