@@ -100,8 +100,8 @@ def main():
     from setok_tpu.parallel.sharding import setokim_shardings
     from setok_tpu.train.stage2 import Stage2Trainer
     from setok_tpu.utils import checkpoint as ckpt
-    from setok_tpu.utils.checkpoint import load_subtree
     from setok_tpu.utils.logging import MetricsLogger, build_logger
+    from setok_tpu.utils.porting import load_flat_into
 
     logger = build_logger("train_setokim", "train_setokim.log",
                           args.output_dir)
@@ -183,8 +183,11 @@ def main():
             (args.pretrain_mm_in_mlp_adapter, "mm_in_projector"),
             (args.pretrain_mm_out_mlp_adapter, "mm_out_projector")]:
         if path:
-            state = state.replace(params=load_subtree(path, state.params))
-            logger.info("loaded %s from %s", pred, path)
+            flat = dict(np.load(path))
+            new_params, unmatched = load_flat_into(state.params, flat)
+            state = state.replace(params=new_params)
+            logger.info("loaded %s from %s (%d arrays, %d unmatched)",
+                        pred, path, len(flat), len(unmatched))
 
     state = jax.tree.map(jax.device_put, state,
                          setokim_shardings(state, mesh))
