@@ -113,9 +113,10 @@ def main():
                                                      ImageProcessor)
         from setok_tpu.data.tokenizer import load_text_tokenizer
 
+        vocab = 32000   # stage-1 text only feeds the contrastive tower
         records = load_cc3m(args.data_path, args.image_folder)
         ds = TextImagePairDataset(
-            records, load_text_tokenizer(args.tokenizer), contrastive_tokenizer=load_text_tokenizer(args.tokenizer),
+            records, load_text_tokenizer(args.tokenizer, vocab_size=vocab), contrastive_tokenizer=load_text_tokenizer(args.tokenizer, vocab_size=vocab),
             task_type=args.task_type,
             image_processor=ImageProcessor(size=args.image_size),
             gen_processor=GeneratorImageProcessor(size=args.image_size))
@@ -128,8 +129,11 @@ def main():
                 idx = [int(order[(i + j) % len(ds)])
                        for j in range(args.batch_size)]
                 i += args.batch_size
-                yield {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
-                       for k, v in col([ds[j] for j in idx]).items()}
+                b = col([ds[j] for j in idx])
+                # jitted step takes arrays only (passthrough keys like
+                # 'caption' stay host-side)
+                yield {k: jnp.asarray(v) for k, v in b.items()
+                       if isinstance(v, np.ndarray)}
         it = batches()
 
     mesh = make_mesh()

@@ -107,12 +107,25 @@ def main():
                           args.output_dir)
     cfg = cfgs.tiny_setokim() if args.tiny else cfgs.base_setokim()
 
+    # register the <target> special token so its id is what the diffusion
+    # branch gathers on (setokim_arch.py:357-399 / initialize_vision_tokenizer)
+    target_token_id = 3
+    tokenizer = None
+    if not args.synthetic:
+        from setok_tpu.constants import DEFAULT_TARGET_TOKEN
+        from setok_tpu.data.tokenizer import load_text_tokenizer
+        tokenizer = load_text_tokenizer(args.tokenizer,
+                                        vocab_size=cfg.llama.vocab_size - 8)
+        tokenizer.add_tokens([DEFAULT_TARGET_TOKEN], special_tokens=True)
+        target_token_id = tokenizer.convert_tokens_to_ids(
+            DEFAULT_TARGET_TOKEN)
+
     train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
                                  warmup_steps=args.warmup_steps,
                                  total_steps=args.steps,
                                  batch_size=args.batch_size, seed=args.seed)
     trainer = Stage2Trainer(
-        cfg, train_cfg=train_cfg,
+        cfg, train_cfg=train_cfg, target_token_id=int(target_token_id),
         freeze_backbone=args.freeze_backbone,
         tune_mm_in_mlp_adapter=args.tune_mm_in_mlp_adapter,
         tune_mm_out_mlp_adapter=args.tune_mm_out_mlp_adapter,
@@ -143,15 +156,15 @@ def main():
                   target_num=cfg.target_num)
         if args.task_type == "pair":
             ds = TextImagePairDataset(load_cc3m(args.data_path[0]),
-                                      load_text_tokenizer(args.tokenizer),
+                                      tokenizer,
                                       task_type="generation", **kw)
         elif args.task_type == "edit":
             import json
             ds = EditingDataset(json.load(open(args.data_path[0])),
-                                load_text_tokenizer(args.tokenizer), **kw)
+                                tokenizer, **kw)
         else:
             ds = InstructionTuningDataset(
-                args.dataset_name, args.data_path, load_text_tokenizer(args.tokenizer),
+                args.dataset_name, args.data_path, tokenizer,
                 image_folders=args.image_folder,
                 data_multiple=args.data_multiple, **kw)
         col = Collator(max_len=args.model_max_length,

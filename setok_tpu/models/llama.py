@@ -271,7 +271,10 @@ class LlamaForCausalLM(nn.Module):
                                     param_dtype=self.param_dtype)
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        return self.embed_tokens(jnp.maximum(input_ids, 0))
+        # clamp both ends: negative multimodal sentinels (replaced later by
+        # spliced features) and any out-of-vocab id (jnp.take would fill NaN)
+        return self.embed_tokens(jnp.clip(input_ids, 0,
+                                          self.cfg.vocab_size - 1))
 
     def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         if self.cfg.tie_embeddings:

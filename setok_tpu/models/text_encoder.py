@@ -29,7 +29,7 @@ class TextEncoder(nn.Module):
     width: int = 768
     depth: int = 6
     num_heads: int = 12
-    max_len: int = 64
+    max_len: int = 512
     embed_dim: int = 768
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32

@@ -52,6 +52,8 @@ class MetricsLogger:
     def __init__(self, path: Optional[str] = None, print_every: int = 1):
         self.path = path
         self.print_every = print_every
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._file = open(path, "a") if path else None
         self._t0 = time.time()
         self._last = self._t0
