@@ -65,6 +65,8 @@ def parse_args():
     p.add_argument("--pretrain-mm-in-mlp-adapter", default=None)
     p.add_argument("--pretrain-mm-out-mlp-adapter", default=None)
     p.add_argument("--tensor-parallel", type=int, default=1)
+    p.add_argument("--use-flash", action="store_true",
+                   help="Pallas flash attention in the LLaMA trunk")
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
@@ -135,7 +137,7 @@ def main():
         mm_in_projector_lr=args.mm_in_projector_lr,
         mm_out_projector_lr=args.mm_out_projector_lr,
         lora_enable=args.lora_enable, lora_r=args.lora_r,
-        lora_alpha=args.lora_alpha)
+        lora_alpha=args.lora_alpha, use_flash=args.use_flash)
 
     rs = np.random.RandomState(args.seed)
     if args.synthetic:

@@ -54,10 +54,12 @@ class Stage2Trainer:
     lora_enable: bool = False
     lora_r: int = 64
     lora_alpha: float = 16.0
+    use_flash: bool = False   # Pallas flash attention in the LLaMA trunk
 
     def __post_init__(self):
         self.model = Setokim(self.cfg, target_token_id=self.target_token_id,
-                             remat=self.train_cfg.remat)
+                             remat=self.train_cfg.remat,
+                             use_flash=self.use_flash)
         tc = self.train_cfg
         warmup = min(tc.warmup_steps, max(tc.total_steps - 1, 0))
         sched = optax.warmup_cosine_decay_schedule(
