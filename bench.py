@@ -9,6 +9,7 @@ north_star), so vs_baseline = value / 5000.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -70,8 +71,11 @@ def main():
     images_per_sec = BATCH * (ITERS_BIG - ITERS_SMALL) / dt
 
     # int8 inference variant (same params, quant8 Dense path) — secondary
-    # number on stderr; headline stays bf16 (recon-parity mode)
+    # number on stderr; headline stays bf16 (recon-parity mode). Opt-in via
+    # SETOK_BENCH_INT8=1 (each remote compile costs minutes).
     try:
+        if os.environ.get("SETOK_BENCH_INT8") != "1":
+            raise RuntimeError("skipped (set SETOK_BENCH_INT8=1)")
         model8 = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16, quant8=True)
 
         def chained8(params, images, iters):
