@@ -99,3 +99,27 @@ def test_eval_step(trainer):
     m = eval_step(trainer, state, batch)
     assert np.isfinite(float(m["psnr"]))
     assert -1 <= float(m["ssim"]) <= 1
+
+
+def test_text_encoder_contrastive_path():
+    """use_text_encoder=True: contrastive ids are encoded in-graph."""
+    tr = Stage1Trainer(cfgs.tiny_tokenizer(), cfgs.tiny_detokenizer(),
+                       gan_cfg=cfgs.GANLossConfig(disc_start=0,
+                                                  warm_up_end=0),
+                       train_cfg=cfgs.TrainConfig(warmup_steps=0),
+                       use_text_encoder=True)
+    rs = np.random.RandomState(0)
+    img = rs.rand(8, 32, 32, 3).astype(np.float32) * 2 - 1
+    batch = {"comp_image": jnp.asarray(img), "gen_image": jnp.asarray(img),
+             "input_ids_for_contrastive": jnp.asarray(
+                 rs.randint(3, 30000, size=(8, 12)))}
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    assert "text_encoder" in state.gen_params
+    before = jax.tree.map(np.asarray, state.gen_params["text_encoder"])
+    state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["contrastive_loss"]))
+    after = state.gen_params["text_encoder"]
+    moved = any(not np.allclose(a, np.asarray(b)) for a, b in zip(
+        jax.tree_util.tree_leaves(before),
+        jax.tree_util.tree_leaves(after)))
+    assert moved    # the text tower trains with the generator
