@@ -70,8 +70,31 @@ def mask_to_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32) -> Optional[jnp
     return jnp.where(mask, 0.0, NEG_INF).astype(dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-compatible params (kernel/bias) without computing —
+    lets fused kernels consume the same checkpoint tree as the unfused path.
+    """
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return kernel, bias
+
+
 class Mlp(nn.Module):
-    """Two-layer MLP with GELU. Parity: module.py:29-45."""
+    """Two-layer MLP with GELU. Parity: module.py:29-45.
+
+    quant8: inference-only int8 path — the whole MLP runs as ONE fused
+    Pallas kernel (quant → fc1 → gelu → quant → fc2, intermediate stays in
+    VMEM; see kernels/fused_mlp.py), reading the same fc1/fc2 params.
+    Only valid when `act` is GELU and dropout is inactive.
+    """
 
     hidden_features: int
     out_features: Optional[int] = None
@@ -84,6 +107,16 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
+        if self.quant8 and self.act is nn.gelu:
+            from setok_tpu.kernels.fused_mlp import fused_mlp_int8
+            k1, b1 = _DenseParams(self.hidden_features,
+                                  self.param_dtype,
+                                  name="fc1")(x.shape[-1])
+            k2, b2 = _DenseParams(out_features, self.param_dtype,
+                                  name="fc2")(self.hidden_features)
+            interpret = jax.devices()[0].platform != "tpu"
+            return fused_mlp_int8(x.astype(self.dtype), k1, b1, k2, b2,
+                                  interpret=interpret)
         x = Dense(self.hidden_features, quant8=self.quant8, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="fc1")(x)
         x = self.act(x)
@@ -116,6 +149,19 @@ class Attention(nn.Module):
         *batch, n, c = x.shape
         head_dim = c // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
+
+        if (self.quant8 and len(batch) == 1 and self.qkv_bias
+                and (mask is None or mask.ndim == 3)):
+            # fully fused int8 attention (kernels/fused_attention_int8.py)
+            from setok_tpu.kernels.fused_attention_int8 import (
+                fused_attention_int8)
+            k_qkv, b_qkv = _DenseParams(3 * c, self.param_dtype,
+                                        name="qkv")(c)
+            k_p, b_p = _DenseParams(c, self.param_dtype, name="proj")(c)
+            interpret = jax.devices()[0].platform != "tpu"
+            return fused_attention_int8(
+                x.astype(self.dtype), k_qkv, b_qkv, k_p, b_p,
+                self.num_heads, mask, scale, interpret=interpret)
 
         qkv = Dense(c * 3, use_bias=self.qkv_bias, quant8=self.quant8,
                     dtype=self.dtype,
