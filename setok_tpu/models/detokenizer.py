@@ -78,6 +78,7 @@ class SetokDeTokenizer(nn.Module):
         x = QFormer(num_layers=cfg.mapper_layers, num_heads=cfg.mapper_heads,
                     cross_attention_freq=cfg.cross_attention_freq,
                     dropout=cfg.proj_drop, attn_dropout=cfg.attn_drop,
+                    quant8=self.quant8,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="mapper")(queries, x, token_valid,
                                    deterministic=deterministic)

@@ -77,6 +77,7 @@ class QFormerLayer(nn.Module):
     has_cross_attention: bool
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    quant8: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -94,12 +95,23 @@ class QFormerLayer(nn.Module):
                                       name="cross_attn")(
                 h, kv=enc, kv_mask=enc_mask, deterministic=deterministic)
         # query FFN (intermediate_query/output_query, module.py:555-560)
-        y = nn.Dense(self.mlp_hidden, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="ffn_in")(h)
-        y = nn.gelu(y)
-        y = nn.Dense(h.shape[-1], dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="ffn_out")(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        if self.quant8:
+            from setok_tpu.kernels.fused_mlp import fused_mlp_int8
+            from setok_tpu.ops.blocks import _DenseParams
+            k1, b1 = _DenseParams(self.mlp_hidden, self.param_dtype,
+                                  name="ffn_in")(h.shape[-1])
+            k2, b2 = _DenseParams(h.shape[-1], self.param_dtype,
+                                  name="ffn_out")(self.mlp_hidden)
+            interpret = jax.devices()[0].platform != "tpu"
+            y = fused_mlp_int8(h.astype(self.dtype), k1, b1, k2, b2,
+                               interpret=interpret)
+        else:
+            y = nn.Dense(self.mlp_hidden, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="ffn_in")(h)
+            y = nn.gelu(y)
+            y = nn.Dense(h.shape[-1], dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="ffn_out")(y)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             name="ffn_norm")(y + h)
@@ -115,6 +127,7 @@ class QFormer(nn.Module):
     cross_attention_freq: int = 2
     dropout: float = 0.1
     attn_dropout: float = 0.1
+    quant8: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -133,6 +146,7 @@ class QFormer(nn.Module):
                              has_cross_attention=(i % self.cross_attention_freq == 0),
                              dropout=self.dropout,
                              attn_dropout=self.attn_dropout,
+                             quant8=self.quant8,
                              dtype=self.dtype, param_dtype=self.param_dtype,
                              name=f"layer_{i}")(
                 h, encoder_hidden_states, encoder_attention_mask,
