@@ -26,15 +26,32 @@ import flax.linen as nn
 NEG_INF = -1e30
 
 
+class _NormParams(nn.Module):
+    """Declares LayerNorm-compatible params (scale/bias) for fused kernels."""
+
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        return scale, bias
+
+
 class BertSelfAttentionCore(nn.Module):
     """BERT-style attention (separate q/k/v, post-norm residual output).
 
     `kv` defaults to the query sequence (self-attention); pass encoder states
-    for cross-attention. `kv_mask`: (B, M) True = attend.
+    for cross-attention. `kv_mask`: (B, M) True = attend. quant8: the whole
+    sublayer (projections, attention, residual, post-norm) runs as one fused
+    int8 Pallas kernel (kernels/fused_bert_attention_int8.py).
     """
 
     num_heads: int
     dropout: float = 0.0
+    quant8: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -44,6 +61,21 @@ class BertSelfAttentionCore(nn.Module):
         c = x.shape[-1]
         head_dim = c // self.num_heads
         kv = x if kv is None else kv
+
+        if self.quant8 and x.ndim == 3:
+            from setok_tpu.kernels.fused_bert_attention_int8 import (
+                fused_bert_attention_int8)
+            from setok_tpu.ops.blocks import _DenseParams
+            wq, bq = _DenseParams(c, self.param_dtype, name="query")(c)
+            wk, bk = _DenseParams(c, self.param_dtype, name="key")(c)
+            wv, bv = _DenseParams(c, self.param_dtype, name="value")(c)
+            wo, bo = _DenseParams(c, self.param_dtype, name="out")(c)
+            ln_s, ln_b = _NormParams(self.param_dtype, name="out_norm")(c)
+            interpret = jax.devices()[0].platform != "tpu"
+            return fused_bert_attention_int8(
+                x.astype(self.dtype), kv.astype(self.dtype), wq, bq, wk, bk,
+                wv, bv, wo, bo, ln_s, ln_b, self.num_heads, kv_mask,
+                interpret=interpret)
         dense = lambda name: nn.Dense(c, dtype=self.dtype,
                                       param_dtype=self.param_dtype, name=name)
         q = dense("query")(x)
@@ -83,6 +115,11 @@ class QFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, enc, enc_mask, *, deterministic: bool = True):
+        # measured: the fused int8 attention kernel is a slight LOSS here —
+        # the mapper's per-head dots are tiny ((256,48)×(48,80)) and the
+        # unrolled head loop underuses the MXU vs XLA's batched einsum.
+        # The kernel stays available (BertSelfAttentionCore(quant8=True))
+        # for larger configs; the mapper keeps bf16 attention + int8 FFN.
         h = BertSelfAttentionCore(num_heads=self.num_heads,
                                   dropout=self.attn_dropout, dtype=self.dtype,
                                   param_dtype=self.param_dtype,

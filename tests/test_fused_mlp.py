@@ -58,3 +58,26 @@ def test_fused_attention_close_to_float():
     params_q = attn_q.init(jax.random.PRNGKey(0), x, mask)
     assert jax.tree_util.tree_structure(params) == \
         jax.tree_util.tree_structure(params_q)
+
+
+def test_fused_bert_attention_close_to_float():
+    from setok_tpu.models.qformer import BertSelfAttentionCore
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 8, 32).astype(np.float32))
+    kv = jnp.asarray(rs.randn(2, 6, 32).astype(np.float32))
+    kv_mask = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0],
+                                    [1, 1, 1, 1, 1, 1]], bool))
+    a_f = BertSelfAttentionCore(num_heads=2)
+    a_q = BertSelfAttentionCore(num_heads=2, quant8=True)
+    params = a_f.init(jax.random.PRNGKey(0), x, kv, kv_mask)
+    f = a_f.apply(params, x, kv, kv_mask)
+    q = a_q.apply(params, x, kv, kv_mask)
+    denom = float(jnp.abs(f).max())
+    assert float(jnp.abs(q - f).max()) / denom < 0.06
+    # self-attention variant + identical param trees
+    params_q = a_q.init(jax.random.PRNGKey(0), x, kv, kv_mask)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_q)
+    fs = a_f.apply(params, x)
+    qs = a_q.apply(params, x)
+    assert float(jnp.abs(qs - fs).max()) / float(jnp.abs(fs).max()) < 0.06
