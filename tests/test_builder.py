@@ -70,3 +70,31 @@ def test_vqa_index_and_metric():
     assert 0 < acc <= 1
     assert vqa_accuracy("yes", ["yes"] * 10) == 1.0
     assert vqa_accuracy("no", ["yes"] * 10) == 0.0
+
+
+def test_lora_checkpoint_serve_roundtrip(tmp_path):
+    """Train 1 LoRA step → orbax checkpoint → loader restores + merges."""
+    import jax.tree_util as jtu
+    from setok_tpu.train.stage2 import Stage2Trainer
+    from setok_tpu.utils import checkpoint as ckpt
+    from tests.test_stage2 import TC, TGT, make_batch
+
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC,
+                       target_token_id=TGT, lora_enable=True, lora_r=4,
+                       lora_alpha=16.0)
+    batch = make_batch(seed=7)
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    state, _ = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    ckpt_dir = str(tmp_path / "checkpoints")
+    ckpt.save_checkpoint(ckpt_dir, 1, state)
+
+    model, params = load_pretrained_model(str(tmp_path), tiny=True,
+                                          lora_r=4, lora_alpha=16.0)
+    _, fresh = load_pretrained_model("", tiny=True)
+    flat_m = {jtu.keystr(p): l
+              for p, l in jtu.tree_flatten_with_path(params)[0]}
+    flat_f = {jtu.keystr(p): l
+              for p, l in jtu.tree_flatten_with_path(fresh)[0]}
+    qk = next(k for k in flat_m if "q_proj" in k)
+    # merged LoRA delta applied on top of the restored base
+    assert not np.allclose(np.asarray(flat_m[qk]), np.asarray(flat_f[qk]))
