@@ -76,10 +76,14 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     # mark the accumulators as device-varying over the ring axis (shard_map
     # tracks varying-ness; the loop body's outputs vary because q does)
-    m0 = jax.lax.pvary(jnp.full((b, h, l_local, 1), -jnp.inf, jnp.float32),
-                       axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((b, h, l_local, 1), jnp.float32), axis_name)
-    o0 = jax.lax.pvary(jnp.zeros((b, h, l_local, d), jnp.float32), axis_name)
+    def _vary(x):
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, axis_name, to="varying")
+        return jax.lax.pvary(x, axis_name)
+
+    m0 = _vary(jnp.full((b, h, l_local, 1), -jnp.inf, jnp.float32))
+    l0 = _vary(jnp.zeros((b, h, l_local, 1), jnp.float32))
+    o0 = _vary(jnp.zeros((b, h, l_local, d), jnp.float32))
     m, l, o, _, _ = jax.lax.fori_loop(0, n_dev, body, (m0, l0, o0, k, v))
 
     l = jnp.maximum(l, 1e-30)
