@@ -17,11 +17,19 @@ def _path_names(path) -> Tuple[str, ...]:
     return tuple(out)
 
 
+def _normalize_key(key: str) -> tuple:
+    """Accept both 'a/b/c' (porter format) and keystr "['a']['b']['c']"
+    (save_subtree format)."""
+    if key.startswith("['"):
+        return tuple(key[2:-2].split("']['"))
+    return tuple(key.split("/"))
+
+
 def load_flat_into(params: Any, flat: Dict[str, np.ndarray],
                    strict: bool = False) -> Tuple[Any, List[str]]:
     """Replace leaves of `params` whose path ends with a flat key's
     components. Returns (new_params, unmatched_flat_keys)."""
-    flat_items = {tuple(k.split("/")): np.asarray(v)
+    flat_items = {_normalize_key(k): np.asarray(v)
                   for k, v in flat.items()}
     used = set()
     leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
