@@ -361,14 +361,38 @@ def extend_list(records: List[Dict], multiple: float) -> List[Dict]:
     return out
 
 
+def _load_vqa_dispatch(name: str, data_path: str, image_folder: str = ""):
+    """VQAv2/OKVQA entry matching the reference's path convention: a
+    directory holding the official question/annotation jsons
+    (instructDataset.py:73-81 VQAv2, 185-194 OKVQA), or an explicit
+    '<questions.json>,<annotations.json>' pair."""
+    if "," in data_path:
+        q, a = data_path.split(",", 1)
+    elif name == "vqav2":
+        a = os.path.join(data_path, "v2_mscoco_train2014_annotations.json")
+        q = os.path.join(data_path,
+                         "v2_OpenEnded_mscoco_train2014_questions.json")
+    else:  # okvqa
+        a = os.path.join(data_path, "mscoco_train2014_annotations.json")
+        q = os.path.join(data_path,
+                         "OpenEnded_mscoco_train2014_questions.json")
+    return load_vqa_pairs(q, a, image_folder, dataset=name)
+
+
 LOADERS = {
+    # caption/instruct json datasets all share the llava record shape
+    # (instructDataset.py:254-271: load_dataset/load_llava_150k)
     "llava_150k": load_llava,
     "llava": load_llava,
+    "llava_cc3m": load_llava,        # LLaVA-CC3M-Pretrain-595K
+    "llava_lion": load_llava,        # LLaVA-LION-Pretrain
     "sharegpt4v": load_llava,
-    "allava": load_llava,
+    "allava": load_llava,            # ALLaVA-Caption/Instruct-LAION-4V
     "gqa": lambda name, dp, imf="": load_gqa(dp, imf),
     "textqa": lambda name, dp, imf="": load_textqa(dp, imf),
     "aokvqa": lambda name, dp, imf="": load_aokvqa(dp, imf),
+    "vqav2": _load_vqa_dispatch,
+    "okvqa": _load_vqa_dispatch,
 }
 
 

@@ -49,6 +49,7 @@ def load_pretrained_model(model_path: str,
                           lora_r: int = 64, lora_alpha: float = 16.0,
                           projector_path: Optional[str] = None,
                           target_token_id: int = 3,
+                          pad_token_id: int = 0,
                           tiny: bool = False) -> Tuple[Setokim, Any]:
     """Returns (model, params). `model_path` may be:
       * an orbax checkpoint dir (restores Stage2State.params), or
@@ -56,7 +57,8 @@ def load_pretrained_model(model_path: str,
         `projector_path` / `lora_path`).
     """
     cfg = model_cfg or (cfgs.tiny_setokim() if tiny else cfgs.base_setokim())
-    model = Setokim(cfg, target_token_id=target_token_id)
+    model = Setokim(cfg, target_token_id=target_token_id,
+                    pad_token_id=pad_token_id)
     params = _init_params(model, cfg)
 
     if model_path:

@@ -65,6 +65,8 @@ def mask_by_order(mask_len: jnp.ndarray, orders: jnp.ndarray,
 class Setokim(nn.Module):
     cfg: SetokimConfig
     target_token_id: int = 3                  # vocab id of <target>
+    pad_token_id: int = 0                     # tokenizer pad id (≠0 for real
+    #   tokenizers; reference derives validity from it, setokim_arch.py:221)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
@@ -82,8 +84,10 @@ class Setokim(nn.Module):
         self.mm_in_projector = build_projector(
             cfg.mm_in_projector_type, cfg.llama.hidden_size, self.dtype,
             self.param_dtype, name="mm_in_projector")
-        self.vision_generator = SetokDeTokenizer(cfg.detokenizer, self.dtype,
-                                                 self.param_dtype)
+        # keyword args only: positional dtype would land in `quant8`
+        self.vision_generator = SetokDeTokenizer(cfg.detokenizer,
+                                                 dtype=self.dtype,
+                                                 param_dtype=self.param_dtype)
         self.mm_out_projector = build_projector(
             cfg.mm_out_projector_type, cfg.diffloss.z_channels, self.dtype,
             self.param_dtype, name="mm_out_projector")
@@ -143,7 +147,7 @@ class Setokim(nn.Module):
                                        axis=1)             # (B, L, D)
         embeds = jnp.where(is_image[..., None], gathered, text_emb)
 
-        pad_valid = input_ids != 0                          # pad id = 0
+        pad_valid = input_ids != self.pad_token_id
         slot_valid = jnp.take_along_axis(img_valid, slot_rank, axis=1)
         valid = jnp.where(is_image, slot_valid, pad_valid)
         positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
@@ -164,7 +168,7 @@ class Setokim(nn.Module):
             embeds, valid, positions = self.prepare_multimodal(
                 input_ids, images, deterministic=deterministic)
         else:
-            valid = input_ids != 0
+            valid = input_ids != self.pad_token_id
             positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
             embeds = self.llama.embed(input_ids)
 

