@@ -26,15 +26,21 @@ from setok_tpu.models.setok import SeTok
 
 import sys
 
-BATCH = 32
+SCALE = os.environ.get("SETOK_BENCH_SCALE", "base")   # base | so400m
+BATCH = int(os.environ.get("SETOK_BENCH_BATCH", "8" if SCALE == "so400m"
+                           else "32"))
 ITERS_SMALL = 2
-ITERS_BIG = 22
+ITERS_BIG = 22 if SCALE == "base" else 6
 TARGET = 5000.0
 
 
 def run(quant8: bool):
-    tok_cfg = cfgs.base_tokenizer()
-    det_cfg = cfgs.base_detokenizer()
+    if SCALE == "so400m":
+        tok_cfg = cfgs.so400m_tokenizer()
+        det_cfg = cfgs.so400m_detokenizer()
+    else:
+        tok_cfg = cfgs.base_tokenizer()
+        det_cfg = cfgs.base_detokenizer()
     model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16, quant8=quant8)
 
     rng = jax.random.PRNGKey(0)
@@ -86,8 +92,11 @@ def main():
               file=sys.stderr)
         quant8 = False
         images_per_sec = run(False)
+    metric = "setok_tokenizer_throughput_256px_encode_cluster_decode"
+    if SCALE != "base":
+        metric += f"_{SCALE}"
     print(json.dumps({
-        "metric": "setok_tokenizer_throughput_256px_encode_cluster_decode",
+        "metric": metric,
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / TARGET, 4),

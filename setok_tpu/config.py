@@ -251,6 +251,35 @@ def base_detokenizer() -> DetokenizerConfig:
     return DetokenizerConfig()
 
 
+def so400m_vit() -> ViTConfig:
+    """SigLIP so400m-patch14-384 geometry (the reference's default tower,
+    tokenizer.py:15): width 1152, depth 27, heads 16, MLP 4304, 729 patches.
+    select_layer -2 per mm_vision_select_layer (tokenizer.py:18)."""
+    return ViTConfig(image_size=384, patch_size=14, width=1152, depth=27,
+                     num_heads=16, mlp_ratio=4304 / 1152, select_layer=-2)
+
+
+def so400m_tokenizer() -> TokenizerConfig:
+    """Reference-scale tokenizer (tokenizer.py:20-25 defaults): hidden_dim
+    4096, token_feat_dim 4096, dim_feedforward 4096, threshold 0.5."""
+    return TokenizerConfig(vit=so400m_vit(), hidden_dim=4096,
+                           token_feat_dim=4096, min_cluster_num=64,
+                           threshold=0.5, nheads=2, dim_feedforward=4096,
+                           inner_cluster_layers=2, intra_cluster_layers=2,
+                           k_max=80, knn=64)
+
+
+def so400m_detokenizer() -> DetokenizerConfig:
+    """Reference-scale detokenizer (detokenizer.py:15-31 defaults):
+    patch 14 @256 (grid 18 → 324 queries), decoder_embed_dim 4096, depth 16;
+    Q-Former mapper width 768 (hard-coded at train_setokim.py:360-365)."""
+    return DetokenizerConfig(token_feat_dim=4096, hidden_dim=768,
+                             patch_size=14, image_size=256,
+                             decoder_embed_dim=4096, decoder_nheads=16,
+                             decoder_depth=16, mapper_layers=6,
+                             mapper_heads=12, cross_attention_freq=2)
+
+
 def tiny_llama() -> LlamaConfig:
     return LlamaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
                        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,

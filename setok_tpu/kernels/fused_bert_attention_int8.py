@@ -50,12 +50,16 @@ def _kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
     mf = kvmask_ref[0]                                    # (1, M) f32 0/1
     mbias = NEG_INF * (1.0 - mf)                          # (1, M)
     scale = 1.0 / (head_dim ** 0.5)
+    # bf16 score/PV dots with fp32 accumulation: full MXU rate (fp32 dots
+    # run quarter-rate on v5e), flash-attention accuracy class
+    q16, k16, v16 = (q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16))
     heads = []
     for h in range(num_heads):
         lo = h * head_dim
-        q_h = q[:, lo:lo + head_dim]
-        k_h = k[:, lo:lo + head_dim]
-        v_h = v[:, lo:lo + head_dim]
+        q_h = q16[:, lo:lo + head_dim]
+        k_h = k16[:, lo:lo + head_dim]
+        v_h = v16[:, lo:lo + head_dim]
         s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         s_h = s_h * scale * mf + mbias                    # broadcast (N, M)
@@ -63,7 +67,7 @@ def _kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
         p_h = jnp.exp(s_h - m_h) * mf
         l_h = jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True), 1e-30)
         heads.append(jax.lax.dot_general(
-            p_h / l_h, v_h, (((1,), (0,)), ((), ())),
+            (p_h / l_h).astype(jnp.bfloat16), v_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     o = jnp.concatenate(heads, axis=1)                    # (N, C)
 

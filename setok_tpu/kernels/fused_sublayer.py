@@ -1,0 +1,309 @@
+"""Fused int8 transformer SUBLAYER kernels: LN prologue + residual epilogue
+live inside the kernel, so one pallas_call = one whole sublayer.
+
+Round-1 established (ROADMAP.md #1) that int8 wins only when the whole
+sublayer is one kernel (every pallas_call is a fusion barrier). These
+kernels extend that fusion outward past the LayerNorm and the residual add
+— the two XLA ops that still forced (tokens, C) HBM round trips between
+kernels — and fix two inefficiencies of the round-1 attention kernel:
+
+  * QK^T / PV ran in fp32 (quarter MXU rate on v5e); now bf16 inputs with
+    fp32 accumulation (preferred_element_type) — full rate, same accuracy
+    class as flash attention.
+  * An all-ones (B, N, N) f32 mask was materialized in HBM and read per
+    layer even when no mask existed; the unmasked variant has no mask
+    operand at all.
+
+Sublayer semantics match ops/blocks.py exactly:
+    attn:  out = x + Attn(LN(x))        (ViTBlock / Block attention sublayer)
+    mlp:   out = x + MLP(LN(x))         (gelu between fc1/fc2)
+Parity: reference Block/Mlp/Attention, module.py:29-101; quantization is a
+TPU-inference addition (quality-validated in round 1, PARITY.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from setok_tpu.kernels.quant_matmul import quantize_weight
+
+NEG_INF = -1e30
+
+# VMEM is ~16 MB/core; leave headroom for Mosaic's own buffers.
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def attn_fits_vmem(n: int, c: int) -> bool:
+    """Whole-sequence attention sublayer per-program footprint: qkv f32,
+    int8 weights, scores. Large configs (so400m: C=4096) fall back to the
+    unfused path."""
+    qkv = n * 3 * c * 4
+    weights = 3 * c * c + c * c + 8 * c * 4
+    scores = 2 * n * n * 4
+    x_io = 2 * n * c * 4
+    return qkv + weights + scores + x_io < _VMEM_BUDGET
+
+
+def mlp_fits_vmem(c: int, hidden: int, block_m: int = 256) -> bool:
+    weights = c * hidden + hidden * c + 4 * (c + hidden) * 4
+    act = block_m * hidden * 4 + 2 * block_m * c * 4
+    return weights + act < _VMEM_BUDGET
+
+
+def _layernorm(x, g, b, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _quant_rows(x):
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                    1e-8) / 127.0
+    return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8), s
+
+
+def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
+               num_heads, head_dim, sm_scale, mf):
+    """y: (N, C) normalized input → attention output (N, C) f32.
+    mf: (N, N) f32 0/1 mask or None."""
+    n, c = y.shape
+    y8, ys = _quant_rows(y)
+    qkv = jax.lax.dot_general(y8, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = qkv.astype(jnp.float32) * ys * sqkv_ref[...] + bqkv_ref[...]
+    qkv16 = qkv.astype(jnp.bfloat16)
+
+    if mf is not None:
+        mbias = NEG_INF * (1.0 - mf)
+    # per-head unrolled loop with static column slices — Mosaic's vector
+    # layouts don't support the (N, C) → (H, N, D) reshape inside kernels
+    heads = []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q_h = qkv16[:, lo:lo + head_dim]
+        k_h = qkv16[:, c + lo:c + lo + head_dim]
+        v_h = qkv16[:, 2 * c + lo:2 * c + lo + head_dim]
+        s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        s_h = s_h * sm_scale
+        if mf is not None:
+            s_h = s_h * mf + mbias
+        m_h = jnp.max(s_h, axis=-1, keepdims=True)
+        p_h = jnp.exp(s_h - m_h)
+        if mf is not None:
+            p_h = p_h * mf
+        l_h = jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True), 1e-30)
+        p16 = (p_h / l_h).astype(jnp.bfloat16)
+        heads.append(jax.lax.dot_general(
+            p16, v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(heads, axis=1)                    # (N, C)
+
+    o8, os_ = _quant_rows(o)
+    out = jax.lax.dot_general(o8, wp_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return out.astype(jnp.float32) * os_ * sp_ref[...] + bp_ref[...]
+
+
+def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                          wp_ref, sp_ref, bp_ref, o_ref, *, num_heads,
+                          head_dim, sm_scale, ln_eps):
+    x = x_ref[0].astype(jnp.float32)
+    y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
+    a = _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
+                   num_heads, head_dim, sm_scale, None)
+    o_ref[0] = (x + a).astype(o_ref.dtype)
+
+
+def _attn_sublayer_kernel_masked(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
+                                 bqkv_ref, wp_ref, sp_ref, bp_ref, mask_ref,
+                                 o_ref, *, num_heads, head_dim, sm_scale,
+                                 ln_eps):
+    x = x_ref[0].astype(jnp.float32)
+    y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
+    a = _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
+                   num_heads, head_dim, sm_scale, mask_ref[0])
+    o_ref[0] = (x + a).astype(o_ref.dtype)
+
+
+def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
+                       w_qkv: jnp.ndarray, b_qkv: jnp.ndarray,
+                       w_proj: jnp.ndarray, b_proj: jnp.ndarray,
+                       num_heads: int, mask: Optional[jnp.ndarray] = None,
+                       sm_scale: Optional[float] = None,
+                       ln_eps: float = 1e-6,
+                       interpret: bool = False) -> jnp.ndarray:
+    """x: (B, N, C) → x + Attn(LN(x)). mask: (B, N, N) bool or None."""
+    b, n, c = x.shape
+    head_dim = c // num_heads
+    scale = sm_scale if sm_scale is not None else head_dim ** -0.5
+    q1 = quantize_weight(w_qkv)
+    q2 = quantize_weight(w_proj)
+    gg = ln_g[None].astype(jnp.float32)
+    bb = ln_b[None].astype(jnp.float32)
+
+    weight_specs = [
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+        pl.BlockSpec((c, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+    ]
+    args = (x, gg, bb, q1.values, q1.scales,
+            b_qkv[None].astype(jnp.float32),
+            q2.values, q2.scales, b_proj[None].astype(jnp.float32))
+
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_sublayer_kernel, num_heads=num_heads,
+                              head_dim=head_dim, sm_scale=scale,
+                              ln_eps=ln_eps),
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
+            + weight_specs,
+            out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            interpret=interpret,
+        )(*args)
+
+    return pl.pallas_call(
+        functools.partial(_attn_sublayer_kernel_masked, num_heads=num_heads,
+                          head_dim=head_dim, sm_scale=scale, ln_eps=ln_eps),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
+        + weight_specs
+        + [pl.BlockSpec((1, n, n), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(*args, mask.astype(jnp.float32))
+
+
+def _mlp_sublayer_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                         s2_ref, b2_ref, o_ref, *, ln_eps):
+    x = x_ref[...].astype(jnp.float32)                    # (BM, C)
+    y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
+
+    y8, ys = _quant_rows(y)
+    h = jax.lax.dot_general(y8, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    h = h.astype(jnp.float32) * ys * s1_ref[...] + b1_ref[...]
+    h = jax.nn.gelu(h)
+
+    h8, hs = _quant_rows(h)
+    z = jax.lax.dot_general(h8, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = z.astype(jnp.float32) * hs * s2_ref[...] + b2_ref[...]
+    o_ref[...] = (x + z).astype(o_ref.dtype)
+
+
+def _mlp_postnorm_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                         b2_ref, g_ref, b_ref, o_ref, *, ln_eps):
+    """BERT FFN sublayer: out = LN(x + MLP(x)) — post-norm epilogue."""
+    x = x_ref[...].astype(jnp.float32)                    # (BM, C)
+
+    x8, xs = _quant_rows(x)
+    h = jax.lax.dot_general(x8, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    h = h.astype(jnp.float32) * xs * s1_ref[...] + b1_ref[...]
+    h = jax.nn.gelu(h)
+
+    h8, hs = _quant_rows(h)
+    z = jax.lax.dot_general(h8, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = z.astype(jnp.float32) * hs * s2_ref[...] + b2_ref[...] + x
+    o_ref[...] = _layernorm(z, g_ref[...], b_ref[...], ln_eps).astype(
+        o_ref.dtype)
+
+
+def mlp_postnorm_int8(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                      w2: jnp.ndarray, b2: jnp.ndarray, ln_g: jnp.ndarray,
+                      ln_b: jnp.ndarray, ln_eps: float = 1e-12,
+                      block_m: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """x: (..., C) → LN(x + gelu-MLP(x)) — the Q-Former query-FFN sublayer
+    (BertOutput post-norm, models/qformer.py)."""
+    q1 = quantize_weight(w1)
+    q2 = quantize_weight(w2)
+    *lead, c = x.shape
+    hdim = w1.shape[1]
+    assert w2.shape[1] == c
+    x2 = x.reshape(-1, c)
+    m = x2.shape[0]
+    bm = min(block_m, m)
+    pad = (-m) % bm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    mp = x2.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_postnorm_kernel, ln_eps=ln_eps),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((hdim, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, c), x.dtype),
+        interpret=interpret,
+    )(x2, q1.values, q1.scales, b1[None].astype(jnp.float32),
+      q2.values, q2.scales, b2[None].astype(jnp.float32),
+      ln_g[None].astype(jnp.float32), ln_b[None].astype(jnp.float32))
+    return out[:m].reshape(*lead, c)
+
+
+def mlp_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
+                      w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray,
+                      b2: jnp.ndarray, ln_eps: float = 1e-6,
+                      block_m: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """x: (..., C) → x + gelu-MLP(LN(x)). Requires w2 out == C (residual)."""
+    q1 = quantize_weight(w1)
+    q2 = quantize_weight(w2)
+    *lead, c = x.shape
+    hdim = w1.shape[1]
+    assert w2.shape[1] == c, "residual requires out == in features"
+    x2 = x.reshape(-1, c)
+    m = x2.shape[0]
+    bm = min(block_m, m)
+    pad = (-m) % bm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    mp = x2.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_sublayer_kernel, ln_eps=ln_eps),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0)),
+            pl.BlockSpec((hdim, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, c), x.dtype),
+        interpret=interpret,
+    )(x2, ln_g[None].astype(jnp.float32), ln_b[None].astype(jnp.float32),
+      q1.values, q1.scales, b1[None].astype(jnp.float32),
+      q2.values, q2.scales, b2[None].astype(jnp.float32))
+    return out[:m].reshape(*lead, c)

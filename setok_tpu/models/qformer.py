@@ -62,7 +62,8 @@ class BertSelfAttentionCore(nn.Module):
         head_dim = c // self.num_heads
         kv = x if kv is None else kv
 
-        if self.quant8 and x.ndim == 3:
+        from setok_tpu.kernels.fused_sublayer import attn_fits_vmem
+        if self.quant8 and x.ndim == 3 and attn_fits_vmem(x.shape[-2], c):
             from setok_tpu.kernels.fused_bert_attention_int8 import (
                 fused_bert_attention_int8)
             from setok_tpu.ops.blocks import _DenseParams
@@ -115,13 +116,13 @@ class QFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, enc, enc_mask, *, deterministic: bool = True):
-        # measured: the fused int8 attention kernel is a slight LOSS here —
-        # the mapper's per-head dots are tiny ((256,48)×(48,80)) and the
-        # unrolled head loop underuses the MXU vs XLA's batched einsum.
-        # The kernel stays available (BertSelfAttentionCore(quant8=True))
-        # for larger configs; the mapper keeps bf16 attention + int8 FFN.
+        # self-attention (N×N over the queries) takes the fused int8 kernel;
+        # cross-attention stays bf16 XLA — its per-head dots are tiny
+        # ((N,48)×(48,K_max)) and the unrolled head loop underuses the MXU
+        # vs XLA's batched einsum (measured round 1).
         h = BertSelfAttentionCore(num_heads=self.num_heads,
-                                  dropout=self.attn_dropout, dtype=self.dtype,
+                                  dropout=self.attn_dropout,
+                                  quant8=self.quant8, dtype=self.dtype,
                                   param_dtype=self.param_dtype,
                                   name="self_attn")(h, deterministic=deterministic)
         if self.has_cross_attention:
@@ -132,23 +133,25 @@ class QFormerLayer(nn.Module):
                                       name="cross_attn")(
                 h, kv=enc, kv_mask=enc_mask, deterministic=deterministic)
         # query FFN (intermediate_query/output_query, module.py:555-560)
-        if self.quant8:
-            from setok_tpu.kernels.fused_mlp import fused_mlp_int8
+        from setok_tpu.kernels.fused_sublayer import mlp_fits_vmem
+        if self.quant8 and mlp_fits_vmem(h.shape[-1], self.mlp_hidden):
+            from setok_tpu.kernels.fused_sublayer import mlp_postnorm_int8
             from setok_tpu.ops.blocks import _DenseParams
             k1, b1 = _DenseParams(self.mlp_hidden, self.param_dtype,
                                   name="ffn_in")(h.shape[-1])
             k2, b2 = _DenseParams(h.shape[-1], self.param_dtype,
                                   name="ffn_out")(self.mlp_hidden)
+            ln_s, ln_b = _NormParams(self.param_dtype, name="ffn_norm")(
+                h.shape[-1])
             interpret = jax.devices()[0].platform != "tpu"
-            y = fused_mlp_int8(h.astype(self.dtype), k1, b1, k2, b2,
-                               interpret=interpret)
-        else:
-            y = nn.Dense(self.mlp_hidden, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="ffn_in")(h)
-            y = nn.gelu(y)
-            y = nn.Dense(h.shape[-1], dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="ffn_out")(y)
-            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            return mlp_postnorm_int8(h.astype(self.dtype), k1, b1, k2, b2,
+                                     ln_s, ln_b, interpret=interpret)
+        y = nn.Dense(self.mlp_hidden, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="ffn_in")(h)
+        y = nn.gelu(y)
+        y = nn.Dense(h.shape[-1], dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="ffn_out")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             name="ffn_norm")(y + h)

@@ -37,6 +37,27 @@ class ViTEncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         c = x.shape[-1]
+        from setok_tpu.kernels.fused_sublayer import (attn_fits_vmem,
+                                                      mlp_fits_vmem)
+        if (self.quant8 and x.ndim == 3
+                and attn_fits_vmem(x.shape[-2], c)
+                and mlp_fits_vmem(c, int(c * self.mlp_ratio))):
+            # whole-sublayer fused int8 kernels (kernels/fused_sublayer.py)
+            import jax
+            from setok_tpu.ops.blocks import _AttnParams, _LNParams, _MlpParams
+            from setok_tpu.kernels.fused_sublayer import (attn_sublayer_int8,
+                                                          mlp_sublayer_int8)
+            interpret = jax.devices()[0].platform != "tpu"
+            g1, b1 = _LNParams(c, self.param_dtype, name="norm1")()
+            aw = _AttnParams(c, self.param_dtype, name="attn")()
+            x = attn_sublayer_int8(x.astype(self.dtype), g1, b1, *aw,
+                                   num_heads=self.num_heads,
+                                   interpret=interpret)
+            g2, b2 = _LNParams(c, self.param_dtype, name="norm2")()
+            mw = _MlpParams(int(c * self.mlp_ratio), c, self.param_dtype,
+                            name="mlp")(c)
+            return mlp_sublayer_int8(x, g2, b2, *mw, interpret=interpret)
+
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm1")(x)
         x = x + Attention(num_heads=self.num_heads, qkv_bias=True,

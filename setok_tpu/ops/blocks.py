@@ -50,7 +50,8 @@ class Dense(nn.Module):
                             (x.shape[-1], self.features), self.param_dtype)
         bias = (self.param("bias", nn.initializers.zeros, (self.features,),
                            self.param_dtype) if self.use_bias else None)
-        if self.quant8:
+        fits = x.shape[-1] * self.features <= 8 * 1024 * 1024
+        if self.quant8 and fits:
             from setok_tpu.kernels.quant_matmul import (quant_dense,
                                                         quantize_weight)
             interpret = jax.devices()[0].platform != "tpu"
@@ -87,6 +88,52 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """LayerNorm-compatible params (scale/bias) for fused sublayer kernels."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return scale, bias
+
+
+class _AttnParams(nn.Module):
+    """Attention-compatible params (qkv/proj Dense) for fused kernels —
+    same tree as the unfused `Attention` module."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        k_qkv, b_qkv = _DenseParams(3 * c, self.param_dtype, name="qkv")(c)
+        k_p, b_p = _DenseParams(c, self.param_dtype, name="proj")(c)
+        return k_qkv, b_qkv, k_p, b_p
+
+
+class _MlpParams(nn.Module):
+    """Mlp-compatible params (fc1/fc2) for fused kernels."""
+
+    hidden_features: int
+    out_features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k1, b1 = _DenseParams(self.hidden_features, self.param_dtype,
+                              name="fc1")(in_features)
+        k2, b2 = _DenseParams(self.out_features, self.param_dtype,
+                              name="fc2")(self.hidden_features)
+        return k1, b1, k2, b2
+
+
 class Mlp(nn.Module):
     """Two-layer MLP with GELU. Parity: module.py:29-45.
 
@@ -107,7 +154,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
-        if self.quant8 and self.act is nn.gelu:
+        from setok_tpu.kernels.fused_sublayer import mlp_fits_vmem
+        if (self.quant8 and self.act is nn.gelu
+                and mlp_fits_vmem(x.shape[-1], self.hidden_features)):
             from setok_tpu.kernels.fused_mlp import fused_mlp_int8
             k1, b1 = _DenseParams(self.hidden_features,
                                   self.param_dtype,
@@ -150,7 +199,9 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
+        from setok_tpu.kernels.fused_sublayer import attn_fits_vmem
         if (self.quant8 and len(batch) == 1 and self.qkv_bias
+                and attn_fits_vmem(n, c)
                 and (mask is None or mask.ndim == 3)):
             # fully fused int8 attention (kernels/fused_attention_int8.py)
             from setok_tpu.kernels.fused_attention_int8 import (
@@ -248,6 +299,32 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, *,
                  deterministic: bool = True):
+        c = x.shape[-1]
+        from setok_tpu.kernels.fused_sublayer import (attn_fits_vmem,
+                                                      mlp_fits_vmem)
+        if (self.quant8 and self.qkv_bias and x.ndim == 3
+                and attn_fits_vmem(x.shape[-2], c)
+                and mlp_fits_vmem(c, self.mlp_hidden_dim)
+                and (mask is None or mask.ndim == 3)):
+            # whole-sublayer fused kernels (kernels/fused_sublayer.py):
+            # LN + attention + residual in one call, LN + MLP + residual in
+            # another — shared norm1 across the depth sublayers preserved
+            from setok_tpu.kernels.fused_sublayer import (attn_sublayer_int8,
+                                                          mlp_sublayer_int8)
+            interpret = jax.devices()[0].platform != "tpu"
+            g1, b1 = _LNParams(c, self.param_dtype, name="norm1")()
+            x = x.astype(self.dtype)
+            for i in range(self.depth):
+                aw = _AttnParams(c, self.param_dtype, name=f"attn_{i}")()
+                x = attn_sublayer_int8(x, g1, b1, *aw,
+                                       num_heads=self.num_heads, mask=mask,
+                                       sm_scale=self.qk_scale,
+                                       interpret=interpret)
+            g2, b2 = _LNParams(c, self.param_dtype, name="norm2")()
+            mw = _MlpParams(self.mlp_hidden_dim, c, self.param_dtype,
+                            name="mlp")(c)
+            return mlp_sublayer_int8(x, g2, b2, *mw, interpret=interpret)
+
         # One shared pre-attention norm (reference shares the instance).
         norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                              name="norm1")
@@ -287,6 +364,25 @@ class ViTBlock(nn.Module):
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, *,
                  deterministic: bool = True):
         c = x.shape[-1]
+        from setok_tpu.kernels.fused_sublayer import (attn_fits_vmem,
+                                                      mlp_fits_vmem)
+        if (self.quant8 and self.qkv_bias and x.ndim == 3
+                and attn_fits_vmem(x.shape[-2], c)
+                and mlp_fits_vmem(c, int(c * self.mlp_ratio))
+                and (mask is None or mask.ndim == 3)):
+            from setok_tpu.kernels.fused_sublayer import (attn_sublayer_int8,
+                                                          mlp_sublayer_int8)
+            interpret = jax.devices()[0].platform != "tpu"
+            g1, b1 = _LNParams(c, self.param_dtype, name="norm1")()
+            aw = _AttnParams(c, self.param_dtype, name="attn")()
+            x = attn_sublayer_int8(x.astype(self.dtype), g1, b1, *aw,
+                                   num_heads=self.num_heads, mask=mask,
+                                   interpret=interpret)
+            g2, b2 = _LNParams(c, self.param_dtype, name="norm2")()
+            mw = _MlpParams(int(c * self.mlp_ratio), c, self.param_dtype,
+                            name="mlp")(c)
+            return mlp_sublayer_int8(x, g2, b2, *mw, interpret=interpret)
+
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm1")(x)
         x = x + Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,

@@ -14,6 +14,9 @@ from setok_tpu.models.builder import (apply_delta, consolidate,
 from setok_tpu.utils.checkpoint import prefix_predicate, save_subtree
 
 
+pytestmark = pytest.mark.full
+
+
 def test_load_fresh_and_projector_splice(tmp_path):
     model, params = load_pretrained_model("", tiny=True)
     # make a different projector and splice it in

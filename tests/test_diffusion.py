@@ -20,6 +20,9 @@ sys.path.insert(0, "/root/reference/src/model")
 ref_diffusion = pytest.importorskip("diffusion")
 
 
+pytestmark = pytest.mark.full
+
+
 @pytest.mark.parametrize("schedule", ["linear", "cosine"])
 def test_beta_schedules_match(schedule):
     ours = get_named_beta_schedule(schedule, 1000)

@@ -11,6 +11,9 @@ from setok_tpu.kernels.flash_attention import (attention_reference,
                                                flash_attention)
 
 
+pytestmark = pytest.mark.full
+
+
 def make_qkv(b=2, h=2, lq=16, lk=16, d=8, seed=0):
     rs = np.random.RandomState(seed)
     q = jnp.asarray(rs.randn(b, h, lq, d).astype(np.float32))

@@ -11,6 +11,9 @@ from setok_tpu.models.generate import (GenerateOutput, find_image_spans,
                                        generate, generate_text)
 from setok_tpu.models.setokim import Setokim
 
+pytestmark = pytest.mark.full
+
+
 TGT = 3
 L = 24
 

@@ -14,6 +14,11 @@ from setok_tpu.ops.clustering import cluster_dpc_knn
 from tests.test_clustering import make_clustered_data
 
 
+import pytest
+
+pytestmark = pytest.mark.full
+
+
 def test_cluster_assignment_pin():
     x = jnp.asarray(make_clustered_data(0, n=64, c=16))
     res = cluster_dpc_knn(x, k=8, k_max=16, min_cluster_num=4,

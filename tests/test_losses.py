@@ -13,6 +13,11 @@ from setok_tpu.losses import (ContrastiveLoss, DiffLoss, LPIPS,
 from setok_tpu.config import ContrastiveLossConfig, GANLossConfig
 
 
+import pytest
+
+pytestmark = pytest.mark.full
+
+
 def test_weighted_mse_matches_reference_semantics():
     rs = np.random.RandomState(0)
     pred = rs.randn(2, 8, 8, 3).astype(np.float32)

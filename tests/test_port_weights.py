@@ -23,6 +23,9 @@ from setok_tpu.models.vit import ViT  # noqa: E402
 from setok_tpu.utils.porting import load_flat_into  # noqa: E402
 
 
+pytestmark = pytest.mark.full
+
+
 def sd_numpy(model):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
 

@@ -10,6 +10,9 @@ from jax.sharding import PartitionSpec as P
 from setok_tpu.parallel.ring_attention import ring_attention
 
 
+pytestmark = pytest.mark.full
+
+
 def full_attention(q, k, v, causal=True):
     d = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),

@@ -13,6 +13,9 @@ from setok_tpu.models.tokenizer import SetokTokenizer
 from setok_tpu.models.vit import ViT
 
 
+pytestmark = pytest.mark.full
+
+
 @pytest.fixture(scope="module")
 def tiny():
     tok_cfg = cfgs.tiny_tokenizer()

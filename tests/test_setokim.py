@@ -10,6 +10,9 @@ from setok_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from setok_tpu.models.llama import LlamaForCausalLM, make_attention_mask
 from setok_tpu.models.setokim import Setokim, mask_by_order
 
+pytestmark = pytest.mark.full
+
+
 TGT = 3           # <target> vocab id used in tests
 L = 40
 

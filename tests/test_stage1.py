@@ -11,6 +11,9 @@ from setok_tpu.parallel.sharding import fsdp_shardings, fsdp_spec
 from setok_tpu.train.stage1 import Stage1State, Stage1Trainer, psnr
 
 
+pytestmark = pytest.mark.full
+
+
 def make_batch(b=8, size=32, seed=0):
     rs = np.random.RandomState(seed)
     img = rs.rand(b, size, size, 3).astype(np.float32) * 2 - 1

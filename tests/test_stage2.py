@@ -7,6 +7,9 @@ import pytest
 
 from setok_tpu import config as cfgs
 
+pytestmark = pytest.mark.full
+
+
 TC = cfgs.TrainConfig(warmup_steps=0, remat=False)
 from setok_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from setok_tpu.train.lora import (apply_lora, default_target_filter,
