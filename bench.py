@@ -28,7 +28,7 @@ import sys
 
 SCALE = os.environ.get("SETOK_BENCH_SCALE", "base")   # base | so400m
 BATCH = int(os.environ.get("SETOK_BENCH_BATCH", "8" if SCALE == "so400m"
-                           else "32"))
+                           else "64"))   # bs sweep r2: 64 > 32/128
 ITERS_SMALL = 2
 ITERS_BIG = 22 if SCALE == "base" else 6
 TARGET = 5000.0

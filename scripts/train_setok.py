@@ -99,13 +99,12 @@ def main():
                 r = np.random.RandomState(idx)
                 img = (r.rand(args.batch_size, args.image_size,
                               args.image_size, 3) * 2 - 1).astype(np.float32)
-                yield {"comp_image": jnp.asarray(img),
-                       "gen_image": jnp.asarray(img),
-                       "text_emb": jnp.asarray(
-                           r.randn(args.batch_size,
-                                   tok_cfg.token_feat_dim)
-                           .astype(np.float32))}
-        it = batches()
+                yield {"comp_image": img,
+                       "gen_image": img,
+                       "text_emb": r.randn(args.batch_size,
+                                           tok_cfg.token_feat_dim)
+                       .astype(np.float32)}
+        host_batches = batches()
     else:
         from setok_tpu.data.collator import Collator
         from setok_tpu.data.datasets import TextImagePairDataset, load_cc3m
@@ -132,15 +131,17 @@ def main():
                 b = col([ds[j] for j in idx])
                 # jitted step takes arrays only (passthrough keys like
                 # 'caption' stay host-side)
-                yield {k: jnp.asarray(v) for k, v in b.items()
+                yield {k: v for k, v in b.items()
                        if isinstance(v, np.ndarray)}
-        it = batches()
+        host_batches = batches()
 
     mesh = make_mesh()
     bs = data_sharding(mesh)
+    # background prefetch + device transfer: host I/O leaves the step's
+    # critical path (data/loader.py DeviceLoader; VERDICT r1 weak #9)
+    from setok_tpu.data.loader import DeviceLoader
+    it = iter(DeviceLoader(host_batches, sharding=bs, prefetch=2))
     first = next(it)
-    first = {k: jax.device_put(v, bs) if hasattr(v, "shape") else v
-             for k, v in first.items()}
     state = trainer.create_state(jax.random.PRNGKey(args.seed), first)
     state = jax.tree.map(jax.device_put, state, fsdp_shardings(state, mesh))
 
@@ -163,8 +164,6 @@ def main():
             ckpt.save_checkpoint(ckpt_dir, step + 1, state)
             logger.info("checkpoint @ %d", step + 1)
         batch = next(it)
-        batch = {k_: jax.device_put(v, bs) if hasattr(v, "shape") else v
-                 for k_, v in batch.items()}
     logger.info("done: %d steps", args.steps)
 
 

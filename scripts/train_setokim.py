@@ -91,8 +91,8 @@ def synthetic_batches(args, cfg, rs):
         ids[:, t0:t0 + cfg.target_num] = 3
         labels[:, t0:t0 + cfg.target_num] = 3
         img = (rs.rand(b, size, size, 3) * 2 - 1).astype(np.float32)
-        yield {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
-               "comp_image": jnp.asarray(img), "gen_image": jnp.asarray(img)}
+        yield {"input_ids": ids, "labels": labels,
+               "comp_image": img, "gen_image": img}
 
 
 def main():
@@ -141,7 +141,7 @@ def main():
 
     rs = np.random.RandomState(args.seed)
     if args.synthetic:
-        it = synthetic_batches(args, cfg, rs)
+        host_batches = synthetic_batches(args, cfg, rs)
     else:
         from setok_tpu.data.collator import Collator
         from setok_tpu.data.datasets import (EditingDataset,
@@ -180,15 +180,18 @@ def main():
                        for j in range(args.batch_size)]
                 i += args.batch_size
                 b = col([ds[j] for j in idx])
-                yield {k: jnp.asarray(v) for k, v in b.items()
+                yield {k: v for k, v in b.items()
                        if isinstance(v, np.ndarray)}
-        it = batches()
+        host_batches = batches()
 
     devs = jax.devices()
     tp = min(args.tensor_parallel, len(devs))
     mesh = make_mesh(cfgs.MeshConfig(data=len(devs) // tp, model=tp))
     bs = data_sharding(mesh)
-    batch = jax.tree.map(lambda x: jax.device_put(x, bs), next(it))
+    # background prefetch + device transfer (data/loader.py DeviceLoader)
+    from setok_tpu.data.loader import DeviceLoader
+    it = iter(DeviceLoader(host_batches, sharding=bs, prefetch=2))
+    batch = next(it)
     state = trainer.create_state(jax.random.PRNGKey(args.seed), batch)
 
     # staged init from pretrained component subtrees (setokim_arch.py:73-183)
@@ -223,7 +226,7 @@ def main():
         metrics_log.log(step, metrics)
         if (step + 1) % args.checkpoint_every == 0 or step == args.steps - 1:
             ckpt.save_checkpoint(ckpt_dir, step + 1, state)
-        batch = jax.tree.map(lambda x: jax.device_put(x, bs), next(it))
+        batch = next(it)
     logger.info("done: %d steps", args.steps)
 
 

@@ -79,6 +79,10 @@ class TokenizerConfig:
     # k for the k-NN density estimate (ref reuses min_cluster_num as k,
     # tokenizer.py:172).
     knn: int = 64
+    # Fused Pallas DPC-KNN (kernels/cluster_pallas.py): VMEM-tiled distance
+    # passes instead of the materialized N×N cdist. Unmasked inputs only —
+    # token_mask falls back to the XLA path.
+    use_pallas_cluster: bool = True
 
 
 @dataclass(frozen=True)

@@ -81,8 +81,10 @@ def _density_kernel(x_tile_ref, x_all_ref, out_ref, *, k, n_valid, c_scale):
 
 
 def _parent_kernel(x_tile_ref, x_all_ref, dens_tile_ref, dens_all_ref,
-                   out_ref, *, n_valid, c_scale, dist_max):
-    """Row tile of parent distances: min dist to any higher-density token."""
+                   out_ref, rowmax_ref, *, n_valid, c_scale, dist_max):
+    """Row tile of parent distances: min dist to any higher-density token.
+    Also emits the per-row max distance so the caller can recover the
+    global dist_max without an XLA N×N pass."""
     xt = x_tile_ref[...].astype(jnp.float32)
     xa = x_all_ref[...].astype(jnp.float32)
     dt = dens_tile_ref[...].astype(jnp.float32)[0, :]        # (BR,) lane-major
@@ -101,6 +103,9 @@ def _parent_kernel(x_tile_ref, x_all_ref, dens_tile_ref, dens_all_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (br, n), 0) + row0
     d2 = jnp.where(cols == rows, 0.0, d2)
     dist = jnp.sqrt(d2)
+
+    valid_col = (cols < n_valid).astype(jnp.float32)
+    rowmax_ref[...] = jnp.max(dist * valid_col, axis=-1)[None, :]
 
     # arithmetic masking (bool vectors trip Mosaic relayouts)
     higher = ((da[None, :] > dt[:, None])
@@ -139,16 +144,8 @@ def dpc_density_parent(x: jnp.ndarray, k: int, block_rows: int = 128,
     # deterministic tie-break, as in ops.clustering
     density = density + (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 1e-6
 
-    # dist_max over valid entries (cheap exact pass in XLA on the padded
-    # tile max — recompute from x directly)
-    sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
-    d2 = jnp.maximum(sq[:, None] + sq[None, :]
-                     - 2 * x.astype(jnp.float32) @ x.astype(jnp.float32).T,
-                     0.0) * c_scale
-    dist_max = jnp.sqrt(jnp.max(d2))
-
     dens_p = _pad_rows(density, br)[None, :]               # (1, npad) rows
-    parent = pl.pallas_call(
+    parent, rowmax = pl.pallas_call(
         functools.partial(_parent_kernel, n_valid=n, c_scale=c_scale,
                           dist_max=1e30),
         grid=(npad // br,),
@@ -156,10 +153,14 @@ def dpc_density_parent(x: jnp.ndarray, k: int, block_rows: int = 128,
                   pl.BlockSpec((npad, c), lambda i: (0, 0)),
                   pl.BlockSpec((1, br), lambda i: (0, i)),
                   pl.BlockSpec((1, npad), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((1, br), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
+        out_specs=(pl.BlockSpec((1, br), lambda i: (0, i)),
+                   pl.BlockSpec((1, br), lambda i: (0, i))),
+        out_shape=(jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, npad), jnp.float32)),
         interpret=interpret,
-    )(xp, xp, dens_p, dens_p)[0, :n]
+    )(xp, xp, dens_p, dens_p)
+    parent = parent[0, :n]
+    dist_max = jnp.max(rowmax[0, :n])
     parent = jnp.minimum(parent, dist_max)
 
     return density, parent, dist_max

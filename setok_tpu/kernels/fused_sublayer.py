@@ -70,8 +70,12 @@ def _quant_rows(x):
 def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
                num_heads, head_dim, sm_scale, mf):
     """y: (N, C) normalized input → attention output (N, C) f32.
-    mf: (N, N) f32 0/1 mask or None."""
+    mf: (N, N) f32 0/1 mask or None. The qkv weight may be head-PADDED
+    (head_dim rounded up to a lane-friendly multiple with zero columns,
+    see _pad_head_weights) — head_dim here is the padded one; the zero
+    dims contribute nothing to any dot, so the math is unchanged."""
     n, c = y.shape
+    seg = num_heads * head_dim          # q/k/v segment width (≥ c if padded)
     y8, ys = _quant_rows(y)
     qkv = jax.lax.dot_general(y8, wqkv_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
@@ -86,8 +90,8 @@ def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
     for h in range(num_heads):
         lo = h * head_dim
         q_h = qkv16[:, lo:lo + head_dim]
-        k_h = qkv16[:, c + lo:c + lo + head_dim]
-        v_h = qkv16[:, 2 * c + lo:2 * c + lo + head_dim]
+        k_h = qkv16[:, seg + lo:seg + lo + head_dim]
+        v_h = qkv16[:, 2 * seg + lo:2 * seg + lo + head_dim]
         s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         s_h = s_h * sm_scale
@@ -108,6 +112,25 @@ def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
     out = jax.lax.dot_general(o8, wp_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     return out.astype(jnp.float32) * os_ * sp_ref[...] + bp_ref[...]
+
+
+def _pad_head_weights(w_qkv, b_qkv, w_proj, num_heads, d, dp):
+    """Re-lay qkv/proj weights so each head occupies a zero-padded
+    `dp`-column block (dp ≥ d, lane-aligned). Zero columns/rows are inert
+    in every dot, so outputs are bit-compatible with the unpadded layout
+    while the per-head score/PV matmuls hit MXU-aligned shapes."""
+    c = w_qkv.shape[0]
+    h = num_heads
+    wq = w_qkv.reshape(c, 3, h, d)
+    wq_p = jnp.zeros((c, 3, h, dp), w_qkv.dtype)
+    wq_p = wq_p.at[..., :d].set(wq)
+    b_p = jnp.zeros((3, h, dp), b_qkv.dtype)
+    b_p = b_p.at[..., :d].set(b_qkv.reshape(3, h, d))
+    wp = w_proj.reshape(h, d, w_proj.shape[1])
+    wp_p = jnp.zeros((h, dp, w_proj.shape[1]), w_proj.dtype)
+    wp_p = wp_p.at[:, :d].set(wp)
+    return (wq_p.reshape(c, 3 * h * dp), b_p.reshape(3 * h * dp),
+            wp_p.reshape(h * dp, w_proj.shape[1]))
 
 
 def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
@@ -142,6 +165,14 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
     b, n, c = x.shape
     head_dim = c // num_heads
     scale = sm_scale if sm_scale is not None else head_dim ** -0.5
+    # lane-align the per-head width (decoder: 768/16 = 48 → 64); inert
+    # zero columns make the math identical while the small score/PV dots
+    # hit MXU-aligned shapes
+    dp = head_dim if head_dim % 64 == 0 else ((head_dim + 63) // 64) * 64
+    if dp != head_dim:
+        w_qkv, b_qkv, w_proj = _pad_head_weights(w_qkv, b_qkv, w_proj,
+                                                 num_heads, head_dim, dp)
+    seg = num_heads * dp
     q1 = quantize_weight(w_qkv)
     q2 = quantize_weight(w_proj)
     gg = ln_g[None].astype(jnp.float32)
@@ -150,10 +181,10 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
     weight_specs = [
         pl.BlockSpec((1, c), lambda i: (0, 0)),
         pl.BlockSpec((1, c), lambda i: (0, 0)),
-        pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
-        pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
-        pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
-        pl.BlockSpec((c, c), lambda i: (0, 0)),
+        pl.BlockSpec((c, 3 * seg), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * seg), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * seg), lambda i: (0, 0)),
+        pl.BlockSpec((seg, c), lambda i: (0, 0)),
         pl.BlockSpec((1, c), lambda i: (0, 0)),
         pl.BlockSpec((1, c), lambda i: (0, 0)),
     ]
@@ -164,7 +195,7 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
     if mask is None:
         return pl.pallas_call(
             functools.partial(_attn_sublayer_kernel, num_heads=num_heads,
-                              head_dim=head_dim, sm_scale=scale,
+                              head_dim=dp, sm_scale=scale,
                               ln_eps=ln_eps),
             grid=(b,),
             in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
@@ -176,7 +207,7 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
 
     return pl.pallas_call(
         functools.partial(_attn_sublayer_kernel_masked, num_heads=num_heads,
-                          head_dim=head_dim, sm_scale=scale, ln_eps=ln_eps),
+                          head_dim=dp, sm_scale=scale, ln_eps=ln_eps),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
         + weight_specs

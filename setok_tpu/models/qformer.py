@@ -116,10 +116,8 @@ class QFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, enc, enc_mask, *, deterministic: bool = True):
-        # self-attention (N×N over the queries) takes the fused int8 kernel;
-        # cross-attention stays bf16 XLA — its per-head dots are tiny
-        # ((N,48)×(48,K_max)) and the unrolled head loop underuses the MXU
-        # vs XLA's batched einsum (measured round 1).
+        # both attention sublayers take the fused int8 kernel (round-1 saw a
+        # loss on cross-attn with fp32 score dots; bf16 dots changed that)
         h = BertSelfAttentionCore(num_heads=self.num_heads,
                                   dropout=self.attn_dropout,
                                   quant8=self.quant8, dtype=self.dtype,
@@ -128,6 +126,7 @@ class QFormerLayer(nn.Module):
         if self.has_cross_attention:
             h = BertSelfAttentionCore(num_heads=self.num_heads,
                                       dropout=self.attn_dropout,
+                                      quant8=self.quant8,
                                       dtype=self.dtype,
                                       param_dtype=self.param_dtype,
                                       name="cross_attn")(

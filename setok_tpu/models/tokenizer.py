@@ -110,8 +110,17 @@ class SetokTokenizer(nn.Module):
         # no_grad in the reference (tokenizer.py:79): assignments are data,
         # not a differentiable path
         xs = jax.lax.stop_gradient(x.astype(jnp.float32))
-        if token_mask is None:
-            res: ClusterResult = jax.vmap(lambda xi: cluster_one(xi, None))(xs)
+        use_pallas = (cfg.use_pallas_cluster and token_mask is None
+                      and jax.devices()[0].platform == "tpu")
+        if use_pallas:
+            from setok_tpu.kernels.cluster_pallas import cluster_dpc_knn_pallas
+            res: ClusterResult = jax.vmap(
+                lambda xi: cluster_dpc_knn_pallas(
+                    xi, k=knn, k_max=cfg.k_max,
+                    min_cluster_num=cfg.min_cluster_num,
+                    threshold=thr))(xs)
+        elif token_mask is None:
+            res = jax.vmap(lambda xi: cluster_one(xi, None))(xs)
         else:
             res = jax.vmap(cluster_one)(xs, token_mask)
 

@@ -156,3 +156,24 @@ def test_qformer_quant8_param_tree_and_output():
     f = m_f.apply(params, q, enc)
     qq = m_q.apply(params, q, enc)
     assert float(jnp.abs(qq - f).max()) / float(jnp.abs(f).max()) < 0.08
+
+
+def test_attn_sublayer_padded_head_dim():
+    """head_dim not a lane multiple (decoder: 768/16=48) goes through the
+    zero-padded head layout — must match the unpadded math exactly."""
+    rs = np.random.RandomState(6)
+    b, n, c, heads = 2, 16, 96, 2        # head_dim 48 → padded 64
+    x = rs.randn(b, n, c).astype(np.float32)
+    g = rs.rand(c).astype(np.float32) + 0.5
+    bb = rs.randn(c).astype(np.float32) * 0.1
+    wqkv = (rs.randn(c, 3 * c) * 0.1).astype(np.float32)
+    bqkv = (rs.randn(3 * c) * 0.1).astype(np.float32)
+    wp = (rs.randn(c, c) * 0.1).astype(np.float32)
+    bp = (rs.randn(c) * 0.1).astype(np.float32)
+
+    got = np.asarray(attn_sublayer_int8(
+        jnp.asarray(x), jnp.asarray(g), jnp.asarray(bb), jnp.asarray(wqkv),
+        jnp.asarray(bqkv), jnp.asarray(wp), jnp.asarray(bp), heads,
+        interpret=True))
+    want = x + _attn_ref(_ln(x, g, bb), wqkv, bqkv, wp, bp, heads)
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.05
