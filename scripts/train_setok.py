@@ -146,9 +146,10 @@ def main():
     state = jax.tree.map(jax.device_put, state, fsdp_shardings(state, mesh))
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    runner = ckpt.CheckpointRunner(ckpt_dir)   # async saves + SIGTERM hook
     start = 0
-    if args.resume and ckpt.latest_step(ckpt_dir) is not None:
-        state = ckpt.restore_checkpoint(ckpt_dir, target=state)
+    if args.resume and runner.latest_step() is not None:
+        state = runner.restore(state)
         start = int(state.step)
         logger.info("resumed from step %d", start)
 
@@ -161,9 +162,14 @@ def main():
         state, metrics = trainer.train_step(state, batch, k)
         metrics_log.log(step, metrics)
         if (step + 1) % args.checkpoint_every == 0 or step == args.steps - 1:
-            ckpt.save_checkpoint(ckpt_dir, step + 1, state)
-            logger.info("checkpoint @ %d", step + 1)
+            runner.save(step + 1, state)
+            logger.info("checkpoint @ %d (async)", step + 1)
+        if runner.preempted(step):
+            runner.save(step + 1, state, force=True)
+            logger.warning("preempted: saved @ %d, exiting", step + 1)
+            break
         batch = next(it)
+    runner.close()
     logger.info("done: %d steps", args.steps)
 
 

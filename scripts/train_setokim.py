@@ -58,6 +58,9 @@ def parse_args():
     p.add_argument("--lora-enable", action="store_true")
     p.add_argument("--lora-r", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--bits", type=int, default=16, choices=[16, 8],
+                   help="8 = QLoRA: int8 frozen base + LoRA adapters "
+                        "(reference --bits, train_setokim.py:228-244)")
     # staged init from pretrained components
     p.add_argument("--pretrain-vision-tokenizer", default=None,
                    help=".npz subtree from stage-1 (vision_tower keys)")
@@ -137,7 +140,8 @@ def main():
         mm_in_projector_lr=args.mm_in_projector_lr,
         mm_out_projector_lr=args.mm_out_projector_lr,
         lora_enable=args.lora_enable, lora_r=args.lora_r,
-        lora_alpha=args.lora_alpha, use_flash=args.use_flash)
+        lora_alpha=args.lora_alpha, quant_base=(args.bits == 8),
+        use_flash=args.use_flash)
 
     rs = np.random.RandomState(args.seed)
     if args.synthetic:
@@ -211,9 +215,10 @@ def main():
                          setokim_shardings(state, mesh))
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    runner = ckpt.CheckpointRunner(ckpt_dir)   # async saves + SIGTERM hook
     start = 0
-    if args.resume and ckpt.latest_step(ckpt_dir) is not None:
-        state = ckpt.restore_checkpoint(ckpt_dir, target=state)
+    if args.resume and runner.latest_step() is not None:
+        state = runner.restore(state)
         start = int(state.step)
         logger.info("resumed from step %d", start)
 
@@ -225,8 +230,13 @@ def main():
         state, metrics = trainer.train_step(state, batch, k)
         metrics_log.log(step, metrics)
         if (step + 1) % args.checkpoint_every == 0 or step == args.steps - 1:
-            ckpt.save_checkpoint(ckpt_dir, step + 1, state)
+            runner.save(step + 1, state)
+        if runner.preempted(step):
+            runner.save(step + 1, state, force=True)
+            logger.warning("preempted: saved @ %d, exiting", step + 1)
+            break
         batch = next(it)
+    runner.close()
     logger.info("done: %d steps", args.steps)
 
 

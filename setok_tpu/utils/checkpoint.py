@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 import re
+import signal
+import threading
 from typing import Any, Callable, Optional
 
 import jax
@@ -57,6 +59,89 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None,
             return mgr.restore(step,
                                args=ocp.args.StandardRestore(target))
         return mgr.restore(step)
+
+
+# ---------------------------------------------------------------------------
+# Async checkpointing + preemption handling (failure-detection story).
+# The reference has only HF Trainer's synchronous step saves + auto-resume
+# (train_setok.py:119-122); the TPU-native elastic version is orbax async
+# commit (device→host copy returns immediately, the write happens on a
+# background thread) plus a SIGTERM hook so a preempted VM saves before
+# dying and `--resume` picks the run back up.
+
+
+class CheckpointRunner:
+    """Long-lived manager for a training run: async saves, preemption-safe.
+
+    Usage in a step loop:
+        runner = CheckpointRunner(ckpt_dir)
+        for step in ...:
+            state, metrics = train_step(...)
+            runner.save_every(step, state, every=500)
+            if runner.preempted(step):
+                runner.save(step, state, force=True)
+                break
+        runner.close()
+    """
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3,
+                 install_sigterm_hook: bool = True):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=True))
+        self._stop = threading.Event()
+        self._prev_handler = None
+        if install_sigterm_hook and threading.current_thread() is \
+                threading.main_thread():
+            self._prev_handler = signal.getsignal(signal.SIGTERM)
+            signal.signal(signal.SIGTERM, self._on_sigterm)
+
+    def _on_sigterm(self, signum, frame):
+        self._stop.set()
+        if callable(self._prev_handler):
+            self._prev_handler(signum, frame)
+
+    # ------------------------------------------------------------------
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        """Non-blocking save (async commit)."""
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+
+    def save_every(self, step: int, state: Any, every: int) -> bool:
+        if every > 0 and (step + 1) % every == 0:
+            self.save(step + 1, state)
+            return True
+        return False
+
+    def preempted(self, step: int) -> bool:
+        """True when the host received SIGTERM (or orbax's multihost
+        preemption sync point fired) — save and exit cleanly."""
+        if self._stop.is_set():
+            return True
+        try:
+            return bool(self._mgr.reached_preemption(step))
+        except Exception:        # single-host / no distributed runtime
+            return False
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def wait(self) -> None:
+        """Block until in-flight async writes are durable."""
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._mgr.close()
+        if self._prev_handler is not None:
+            signal.signal(signal.SIGTERM, self._prev_handler)
 
 
 # ---------------------------------------------------------------------------

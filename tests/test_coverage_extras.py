@@ -78,3 +78,33 @@ def test_load_test_and_filter(tmp_path):
                      ["a", "b"])
     kept = filter_missing_images(recs, num_workers=2)
     assert len(kept) == 1 and kept[0]["caption"] == "a"
+
+
+def test_checkpoint_runner_async_and_preemption(tmp_path):
+    """Async saves are durable after wait(); SIGTERM flips preempted() and
+    a forced final save restores (the elastic/failure-detection story)."""
+    import os
+    import signal
+    import numpy as np
+    import jax.numpy as jnp
+    from setok_tpu.utils.checkpoint import CheckpointRunner
+
+    state = {"step": jnp.asarray(0), "w": jnp.arange(8.0)}
+    runner = CheckpointRunner(str(tmp_path / "ckpt"))
+    runner.save(1, state)
+    runner.wait()
+    assert runner.latest_step() == 1
+
+    assert not runner.preempted(1)
+    os.kill(os.getpid(), signal.SIGTERM)      # caught by the runner's hook
+    assert runner.preempted(1)
+    state2 = {"step": jnp.asarray(7), "w": jnp.arange(8.0) * 2}
+    runner.save(2, state2, force=True)
+    runner.close()
+
+    r2 = CheckpointRunner(str(tmp_path / "ckpt"),
+                          install_sigterm_hook=False)
+    got = r2.restore({"step": jnp.asarray(0), "w": jnp.zeros(8)})
+    assert int(got["step"]) == 7
+    assert np.allclose(got["w"], np.arange(8.0) * 2)
+    r2.close()
