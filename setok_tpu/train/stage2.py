@@ -27,6 +27,8 @@ from flax import struct
 from setok_tpu.config import SetokimConfig, TrainConfig
 from setok_tpu.models.setokim import Setokim
 from setok_tpu.train.lora import apply_lora, default_target_filter, init_lora
+from setok_tpu.train.qlora import (apply_overlay, dequantize, extract_overlay,
+                                   quantize_base)
 
 
 class Stage2State(struct.PyTreeNode):
@@ -34,6 +36,7 @@ class Stage2State(struct.PyTreeNode):
     params: Any                 # full model params (base when LoRA on)
     lora: Optional[Any]         # LoRA tree or None
     opt_state: Any
+    qscales: Optional[Any] = None   # QLoRA: per-kernel int8 scales
 
 
 @dataclasses.dataclass(eq=False)
@@ -55,9 +58,16 @@ class Stage2Trainer:
     lora_enable: bool = False
     lora_r: int = 64
     lora_alpha: float = 16.0
+    # QLoRA: int8 frozen base + LoRA (train/qlora.py — the TPU-native
+    # answer to the reference's bitsandbytes 4/8-bit path,
+    # train_setokim.py:228-244)
+    quant_base: bool = False
     use_flash: bool = False   # Pallas flash attention in the LLaMA trunk
 
     def __post_init__(self):
+        if self.quant_base and not self.lora_enable:
+            raise ValueError("quant_base (QLoRA) requires lora_enable: the "
+                             "int8 base is frozen; adapters carry training")
         # mixed precision: bf16 activations, fp32 params/optimizer (parity:
         # bf16/fp16 flags, train_setokim.py:223-250) — mirrors stage-1
         dtype = jnp.dtype(self.train_cfg.compute_dtype)
@@ -130,20 +140,72 @@ class Stage2Trainer:
         if self.lora_enable:
             lora = init_lora(params, k_lora, self.lora_r,
                              default_target_filter)
+        if self.quant_base:
+            params, qscales = quantize_base(params, default_target_filter)
+            overlay = extract_overlay(params, self._wants_training)
+            tp = {"params": overlay, "lora": lora}
+            return Stage2State(step=jnp.zeros((), jnp.int32), params=params,
+                               lora=lora, opt_state=self._tx.init(tp),
+                               qscales=qscales)
         tp = {"params": params, "lora": lora} if lora is not None else \
             {"params": params}
         return Stage2State(step=jnp.zeros((), jnp.int32), params=params,
                            lora=lora, opt_state=self._tx.init(tp))
 
-    def _effective_params(self, params, lora):
+    def _wants_training(self, name: str, leaf) -> bool:
+        """QLoRA overlay membership: float leaves whose label trains."""
+        return (jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+                and self._label_of(name, False) != "frozen")
+
+    def _effective_params(self, params, lora, qscales=None):
+        if qscales is not None:
+            params = dequantize(params, qscales,
+                                jnp.dtype(self.train_cfg.compute_dtype))
         if lora is None:
             return params
         return apply_lora(params, lora, self.lora_alpha, self.lora_r)
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: Stage2State, batch: Dict[str, Any],
                    rng: jax.Array) -> Tuple[Stage2State, Dict[str, Any]]:
+        if self.quant_base:
+            return self._train_step_qlora(state, batch, rng)
+        return self._train_step_full(state, batch, rng)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_qlora(self, state: Stage2State, batch: Dict[str, Any],
+                          rng: jax.Array
+                          ) -> Tuple[Stage2State, Dict[str, Any]]:
+        """Differentiates only the float trainable overlay + LoRA; the int8
+        base rides along as a constant and is dequantized at use."""
+        drop_rng, diff_rng = jax.random.split(rng)
+        ids = batch["input_ids"]
+        labels = batch["labels"]
+        comp = batch["comp_image"]
+        gen = batch.get("gen_image")
+        overlay = extract_overlay(state.params, self._wants_training)
+        tp = {"params": overlay, "lora": state.lora}
+
+        def loss_fn(tp):
+            full = apply_overlay(state.params, tp["params"])
+            p = self._effective_params(full, tp["lora"], state.qscales)
+            out = self.model.apply(p, ids, comp, labels, gen, diff_rng,
+                                   deterministic=False,
+                                   rngs={"dropout": drop_rng})
+            metrics = {"lm_loss": out.lm_loss, "diff_loss": out.diff_loss,
+                       "total_loss": out.loss}
+            return out.loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(tp)
+        updates, opt_state = self._tx.update(grads, state.opt_state, tp)
+        tp = optax.apply_updates(tp, updates)
+        params = apply_overlay(state.params, tp["params"])
+        return state.replace(step=state.step + 1, params=params,
+                             lora=tp["lora"], opt_state=opt_state), metrics
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_full(self, state: Stage2State, batch: Dict[str, Any],
+                         rng: jax.Array) -> Tuple[Stage2State, Dict[str, Any]]:
         drop_rng, diff_rng = jax.random.split(rng)
         ids = batch["input_ids"]
         labels = batch["labels"]
@@ -171,5 +233,8 @@ class Stage2Trainer:
 
     # ------------------------------------------------------------------
     def merged_params(self, state: Stage2State):
-        """LoRA-merged full params (merge_lora_weights.py equivalent)."""
-        return self._effective_params(state.params, state.lora)
+        """LoRA-merged full params (merge_lora_weights.py equivalent).
+        In QLoRA mode the int8 base dequantizes first, so the merged tree
+        is a plain float checkpoint servable by models/builder.py."""
+        return self._effective_params(state.params, state.lora,
+                                      state.qscales)

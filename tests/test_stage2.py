@@ -164,3 +164,52 @@ def test_stage2_mixed_precision_plumbed():
                          batch["gen_image"], jax.random.PRNGKey(1))
     assert out.hidden.dtype == jnp.bfloat16
     assert np.isfinite(float(out.loss))
+
+
+def test_qlora_int8_base_training():
+    """QLoRA (train/qlora.py): trunk kernels stored int8, LoRA + projectors
+    train, int8 base bit-identical across steps, merge dequantizes.
+    TPU-native stand-in for the reference's bitsandbytes 4/8-bit path
+    (train_setokim.py:228-244)."""
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC, target_token_id=TGT,
+                       lora_enable=True, lora_r=4, quant_base=True,
+                       tune_mm_in_mlp_adapter=True,
+                       mm_in_projector_lr=1e-3)
+    batch = make_batch()
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+
+    # the targeted trunk kernels are int8; their scales live beside them
+    int8_names = [jax.tree_util.keystr(p)
+                  for p, l in jax.tree_util.tree_flatten_with_path(
+                      state.params)[0]
+                  if jnp.asarray(l).dtype == jnp.int8]
+    assert int8_names, "no kernel was quantized"
+    assert all(default_target_filter(n) for n in int8_names)
+    assert set(state.qscales) == set(int8_names)
+    base_before = {n: np.asarray(l) for n, l in
+                   ((jax.tree_util.keystr(p), l) for p, l in
+                    jax.tree_util.tree_flatten_with_path(state.params)[0])
+                   if l.dtype == jnp.int8}
+
+    metrics0 = None
+    rng = jax.random.PRNGKey(1)
+    for i in range(2):
+        rng, k = jax.random.split(rng)
+        state, metrics = tr.train_step(state, batch, k)
+        if metrics0 is None:
+            metrics0 = metrics
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # int8 base is untouched by training
+    for p, l in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        n = jax.tree_util.keystr(p)
+        if n in base_before:
+            assert np.array_equal(base_before[n], np.asarray(l))
+    # LoRA moved; merged params are float (servable)
+    assert any(float(jnp.abs(v["b"]).sum()) > 0
+               for v in jax.tree_util.tree_leaves(
+                   jax.tree_util.tree_map(lambda x: x, state.lora),
+                   is_leaf=lambda x: isinstance(x, dict) and "b" in x))
+    merged = tr.merged_params(state)
+    assert all(jnp.issubdtype(l.dtype, jnp.floating)
+               for l in jax.tree_util.tree_leaves(merged))
