@@ -69,7 +69,8 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 class KVCache(NamedTuple):
     k: jnp.ndarray        # (layers, B, max_len, kv_heads, head_dim)
     v: jnp.ndarray
-    length: jnp.ndarray   # () int32 — filled positions
+    length: jnp.ndarray   # () int32 — filled positions ((B,) per-slot
+                          # write offsets in serving/continuous batching)
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
@@ -112,10 +113,21 @@ class LlamaAttention(nn.Module):
         if cache_kv is not None:
             ck, cv = cache_kv
             start = cache_length
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, start, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, start, 0, 0))
+            if getattr(start, "ndim", 0) == 1:
+                # per-row write columns (serving/continuous batching: each
+                # slot appends at its own offset). Clamped scatter — rows
+                # past the end (retired slots) write harmlessly into the
+                # last column, which their cache_valid never marks.
+                s_max = ck.shape[1] - l
+                rows = jnp.arange(b)[:, None]
+                cols = jnp.minimum(start, s_max)[:, None] + jnp.arange(l)
+                ck = ck.at[rows, cols].set(k.astype(ck.dtype))
+                cv = cv.at[rows, cols].set(v.astype(cv.dtype))
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype), (0, start, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype), (0, start, 0, 0))
             k, v = ck.astype(self.dtype), cv.astype(self.dtype)
             new_cache_kv = (ck, cv)
 

@@ -285,9 +285,15 @@ class Setokim(nn.Module):
         """One decode step: token_ids (B, 1) → (logits, hidden, new cache)."""
         b = token_ids.shape[0]
         embeds = self.llama.embed(token_ids)
-        cache_valid = jax.lax.dynamic_update_slice(
-            cache_valid, jnp.ones((b, 1), cache_valid.dtype),
-            (0, cache.length))
+        if getattr(cache.length, "ndim", 0) == 1:
+            # per-slot write columns (serve/engine.py continuous batching);
+            # OOB columns of retired slots drop (jnp scatter semantics)
+            cache_valid = cache_valid.at[jnp.arange(b), cache.length].set(
+                True, mode="drop")
+        else:
+            cache_valid = jax.lax.dynamic_update_slice(
+                cache_valid, jnp.ones((b, 1), cache_valid.dtype),
+                (0, cache.length))
         valid = jnp.ones((b, 1), bool)
         positions = next_position[:, None]
         mask = make_attention_mask(valid, positions, cache_valid=cache_valid)

@@ -1,0 +1,242 @@
+"""Continuous-batching serving engine over the static KV cache.
+
+The reference has no serving layer of its own — its `load_pretrained_model`
+(/root/reference/src/model/builder.py:26-145) feeds single requests through
+the HF `generate` loop, one batch at a time (the `src/utils.py` moderation/
+controller constants are dead LLaVA-serving leftovers, SURVEY.md §2.7).
+This module is the beyond-parity production-serving story (ROADMAP item 10),
+designed TPU-first:
+
+  * one decode graph, compiled once, over a fixed `max_batch` slot array —
+    shapes never change, so XLA never recompiles;
+  * each slot owns rows of the (layers, B, S, kv_heads, head_dim) KV cache
+    and its own write offset — `KVCache.length` is a (B,) vector here, and
+    the attention kernel scatters each row at its own column
+    (models/llama.py per-row cache write);
+  * continuous batching: between decode steps, finished slots retire and
+    queued requests are admitted by splicing a freshly prefilled (B=1) row
+    into the batch cache (`dynamic_update_slice` at the slot index — the
+    slot id is a traced scalar, so admission is also a single compiled fn);
+  * prompts pad to a fixed `prompt_len`, so prefill compiles once too.
+
+Per-token host round trips are inherent to interactive serving (the sampled
+token must reach the user); the engine amortizes the hosted-TPU dispatch
+latency across every active slot, which is exactly the continuous-batching
+win.
+
+Text-only and multimodal (image-input) requests share the batch: image
+features occupy pre-reserved `IMAGE_TOKEN_INDEX` slots in the prompt, like
+training (models/setokim.py::prepare_multimodal). Generated-image spans are
+rendered at retirement through `models/generate.generate_image`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from setok_tpu.models.llama import KVCache
+from setok_tpu.models.generate import find_image_spans, generate_image
+from setok_tpu.models.setokim import Setokim
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request. `tokens`/`images_out` fill as it runs."""
+
+    prompt_ids: np.ndarray                 # (L,) int — collator layout
+    image: Optional[np.ndarray] = None     # (H, W, 3) float or None
+    max_new_tokens: int = 64
+    # results
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    images_out: List[np.ndarray] = dataclasses.field(default_factory=list)
+    done: bool = False
+    # internal
+    _hiddens: List[np.ndarray] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass(eq=False)
+class ServeEngine:
+    model: Setokim
+    params: Any
+    max_batch: int = 4
+    prompt_len: int = 64
+    max_len: int = 256                     # KV-cache width per slot
+    eos_id: int = 2
+    pad_id: int = 0
+    temperature: float = 0.0               # 0 = greedy
+    im_start_id: Optional[int] = None      # render generated image spans
+    im_end_id: Optional[int] = None
+    num_iter: int = 16                     # MaskGIT iterations per image
+    cfg_scale: float = 1.0
+    cache_dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.prompt_len >= self.max_len:
+            raise ValueError("prompt_len must leave decode room in max_len")
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._slots: List[Optional[Request]] = [None] * self.max_batch
+        b, s = self.max_batch, self.max_len
+        cfg = self.model.cfg.llama
+        kv_shape = (cfg.num_layers, b, s, cfg.num_kv_heads, cfg.head_dim)
+        self._cache = KVCache(k=jnp.zeros(kv_shape, self.cache_dtype),
+                              v=jnp.zeros(kv_shape, self.cache_dtype),
+                              length=jnp.zeros((b,), jnp.int32))
+        self._cache_valid = jnp.zeros((b, s), bool)
+        self._pos = jnp.zeros((b,), jnp.int32)
+        self._cur_tok = jnp.full((b,), self.pad_id, jnp.int32)
+        self._active = np.zeros((b,), bool)    # host-side scheduler state
+        self._rng = jax.random.PRNGKey(0)
+
+        self._prefill = jax.jit(partial(self._prefill_impl, self.model,
+                                        self.max_len, self.cache_dtype))
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3))
+        self._step = jax.jit(partial(self._step_impl, self.model,
+                                     self.temperature, self.pad_id),
+                             donate_argnums=(1, 2, 3))
+
+    # ------------------------------------------------------------------
+    # jitted pieces (static through partial; compiled once per engine)
+    @staticmethod
+    def _prefill_impl(model, max_len, cache_dtype, params, ids, images):
+        logits, _, cache, cache_valid, _ = model.apply(
+            params, ids, images, max_len, cache_dtype=cache_dtype,
+            method=model.prefill)
+        next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return cache, cache_valid, next_pos, first
+
+    @staticmethod
+    def _insert_impl(cache, cache_valid, pos, cur_tok, slot,
+                     row_cache, row_valid, row_pos, row_tok):
+        k = jax.lax.dynamic_update_slice(cache.k, row_cache.k,
+                                         (0, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache.v, row_cache.v,
+                                         (0, slot, 0, 0, 0))
+        length = jax.lax.dynamic_update_slice(
+            cache.length, row_cache.length[None].astype(jnp.int32), (slot,))
+        cache_valid = jax.lax.dynamic_update_slice(cache_valid, row_valid,
+                                                   (slot, 0))
+        pos = jax.lax.dynamic_update_slice(pos, row_pos.astype(jnp.int32),
+                                           (slot,))
+        cur_tok = jax.lax.dynamic_update_slice(cur_tok, row_tok, (slot,))
+        return KVCache(k, v, length), cache_valid, pos, cur_tok
+
+    @staticmethod
+    def _step_impl(model, temperature, pad_id, params, cache, cache_valid,
+                   pos, cur_tok, active, rng):
+        logits, hidden, cache, cache_valid = model.apply(
+            params, cur_tok[:, None], cache, cache_valid, pos,
+            method=model.decode_step)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, axis=-1)
+        else:
+            nxt = jax.random.categorical(rng, logits / temperature, axis=-1)
+        nxt = jnp.where(active, nxt.astype(jnp.int32), pad_id)
+        # decode_step already advanced every row's length by 1 (LlamaModel);
+        # retired rows must not advance — undo theirs so their clamped
+        # cache writes stay pinned and droppable
+        pos = jnp.where(active, pos + 1, pos)
+        length = jnp.where(active, cache.length, cache.length - 1)
+        return (KVCache(cache.k, cache.v, length), cache_valid, pos,
+                nxt, hidden)
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt_ids, image=None, max_new_tokens: int = 64
+               ) -> Request:
+        req = Request(prompt_ids=np.asarray(prompt_ids, np.int32),
+                      image=image, max_new_tokens=max_new_tokens)
+        self._queue.put(req)
+        return req
+
+    def _admit(self, req: Request, slot: int) -> None:
+        ids = np.full((1, self.prompt_len), self.pad_id, np.int32)
+        p = req.prompt_ids[-self.prompt_len:]
+        ids[0, :len(p)] = p
+        cfg = self.model.cfg
+        if req.image is not None:
+            images = jnp.asarray(req.image, jnp.float32)[None]
+        else:
+            hw = cfg.tokenizer.vit.image_size
+            images = jnp.zeros((1, hw, hw, 3), jnp.float32)
+        row_cache, row_valid, row_pos, first = self._prefill(
+            self.params, jnp.asarray(ids), images)
+        (self._cache, self._cache_valid, self._pos,
+         self._cur_tok) = self._insert(
+            self._cache, self._cache_valid, self._pos, self._cur_tok,
+            jnp.asarray(slot, jnp.int32), row_cache, row_valid, row_pos,
+            first)
+        self._slots[slot] = req
+        self._active[slot] = True
+        req.tokens.append(int(first[0]))
+        if int(first[0]) == self.eos_id:
+            self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        req = self._slots[slot]
+        self._slots[slot] = None
+        self._active[slot] = False
+        if req is None:
+            return
+        # strip pads after EOS; keep EOS itself out of the text
+        if self.eos_id in req.tokens:
+            req.tokens = req.tokens[:req.tokens.index(self.eos_id)]
+        if (self.im_start_id is not None and self.im_end_id is not None
+                and req._hiddens):
+            hid = np.stack(req._hiddens, axis=0)       # (T-1, H)
+            if len(req._hiddens) < len(req.tokens) + 1:
+                hid = np.concatenate([hid, hid[-1:]], axis=0)
+            ids = np.asarray(req.tokens)
+            for s, e in find_image_spans(ids, self.im_start_id,
+                                         self.im_end_id):
+                if e <= s or e > hid.shape[0]:
+                    continue
+                self._rng, k = jax.random.split(self._rng)
+                img = generate_image(self.model, self.params,
+                                     jnp.asarray(hid[None, s:e]), k,
+                                     self.num_iter, self.cfg_scale)
+                req.images_out.append(np.asarray(img[0]))
+        req._hiddens = []
+        req.done = True
+
+    def step(self) -> int:
+        """Admit what fits, run one decode step; returns active count."""
+        for slot in range(self.max_batch):
+            if not self._active[slot] and not self._queue.empty():
+                try:
+                    self._admit(self._queue.get_nowait(), slot)
+                except queue.Empty:       # racing submitter threads
+                    break
+        if not self._active.any():
+            return 0
+        self._rng, k = jax.random.split(self._rng)
+        (self._cache, self._cache_valid, self._pos, self._cur_tok,
+         hidden) = self._step(self.params, self._cache, self._cache_valid,
+                              self._pos, self._cur_tok,
+                              jnp.asarray(self._active), k)
+        toks = np.asarray(self._cur_tok)
+        hid = np.asarray(hidden)
+        for slot in range(self.max_batch):
+            req = self._slots[slot]
+            if req is None or not self._active[slot]:
+                continue
+            req._hiddens.append(hid[slot])   # hidden of the fed token
+            tok = int(toks[slot])
+            req.tokens.append(tok)
+            budget_done = (len(req.tokens) >= req.max_new_tokens
+                           or int(self._pos[slot]) >= self.max_len - 1)
+            if tok == self.eos_id or budget_done:
+                self._retire(slot)
+        return int(self._active.sum())
+
+    def run(self, max_steps: int = 100000) -> None:
+        """Drain the queue: decode until every submitted request is done."""
+        for _ in range(max_steps):
+            if self.step() == 0 and self._queue.empty():
+                return

@@ -1,0 +1,118 @@
+"""Serving engine tests: continuous batching == offline batched decode.
+
+The engine (serve/engine.py) is beyond-parity infrastructure (the reference
+has no serving layer, SURVEY.md §2.7); correctness is defined against
+`models/generate.generate_text` — greedy decode through the engine's
+slot-array cache must reproduce the offline batch path token-for-token,
+including when requests are admitted mid-stream into recycled slots.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from setok_tpu import config as cfgs
+from setok_tpu.constants import IMAGE_TOKEN_INDEX
+from setok_tpu.models.generate import generate_text
+from setok_tpu.models.setokim import Setokim
+from setok_tpu.serve import ServeEngine
+
+pytestmark = pytest.mark.full
+
+TGT = 3
+L = 24
+
+
+def make_prompt(seed, k_max=8):
+    rs = np.random.RandomState(seed)
+    ids = np.zeros((L,), np.int64)
+    ids[0] = 1
+    ids[1:1 + k_max] = IMAGE_TOKEN_INDEX
+    n_text = 4 + seed % 5
+    ids[1 + k_max:1 + k_max + n_text] = rs.randint(10, 400, size=n_text)
+    img = rs.rand(32, 32, 3).astype(np.float32) * 2 - 1
+    return ids, img
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = cfgs.tiny_setokim()
+    model = Setokim(cfg, target_token_id=TGT)
+    ids, img = make_prompt(0)
+    ids2 = jnp.asarray(ids)[None]
+    img2 = jnp.asarray(img)[None]
+    labels = jnp.zeros_like(ids2)
+    params = model.init(jax.random.PRNGKey(0), ids2, img2, labels, img2,
+                        jax.random.PRNGKey(1), method=model.init_all)
+    return model, params
+
+
+def offline_reference(model, params, prompts, images, max_new, eos, pad):
+    """Per-request generate_text (batch of 1 each → no cross-row effects)."""
+    outs = []
+    for ids, img in zip(prompts, images):
+        out = generate_text(model, params, jnp.asarray(ids)[None],
+                            jnp.asarray(img)[None], max_new,
+                            eos_id=eos, pad_id=pad)
+        toks = list(np.asarray(out.tokens)[0])
+        if eos in toks:
+            toks = toks[:toks.index(eos)]
+        outs.append(toks)
+    return outs
+
+
+def test_continuous_batching_matches_offline(model_and_params):
+    """5 requests through 2 slots — admissions into recycled slots mid-
+    stream must not perturb any other slot's tokens."""
+    model, params = model_and_params
+    eos, pad, max_new = 2, 0, 6
+    prompts, images = zip(*[make_prompt(s) for s in range(5)])
+
+    expect = offline_reference(model, params, prompts, images, max_new,
+                               eos, pad)
+
+    eng = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                      max_len=L + max_new + 2, eos_id=eos, pad_id=pad)
+    reqs = [eng.submit(p, image=im, max_new_tokens=max_new)
+            for p, im in zip(prompts, images)]
+    eng.run()
+
+    assert all(r.done for r in reqs)
+    for i, (r, exp) in enumerate(zip(reqs, expect)):
+        assert r.tokens == exp, f"request {i}: {r.tokens} != {exp}"
+
+
+def test_slot_isolation_with_staggered_admission(model_and_params):
+    """A request admitted while another is mid-decode must not change the
+    in-flight request's output (per-row cache write columns)."""
+    model, params = model_and_params
+    eos, pad, max_new = 2, 0, 8
+    p0, im0 = make_prompt(11)
+    p1, im1 = make_prompt(12)
+    expect = offline_reference(model, params, [p0, p1], [im0, im1],
+                               max_new, eos, pad)
+
+    eng = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                      max_len=L + max_new + 2, eos_id=eos, pad_id=pad)
+    r0 = eng.submit(p0, image=im0, max_new_tokens=max_new)
+    for _ in range(3):                 # r0 runs alone for a few steps
+        eng.step()
+    r1 = eng.submit(p1, image=im1, max_new_tokens=max_new)
+    eng.run()
+
+    assert r0.tokens == expect[0]
+    assert r1.tokens == expect[1]
+
+
+def test_text_only_request(model_and_params):
+    """No image: zero-image prefill still decodes and terminates."""
+    model, params = model_and_params
+    ids = np.zeros((L,), np.int64)
+    ids[0] = 1
+    ids[1:6] = [17, 23, 101, 47, 310]
+    eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                      max_len=L + 6, eos_id=2, pad_id=0)
+    r = eng.submit(ids, max_new_tokens=4)
+    eng.run()
+    assert r.done and 1 <= len(r.tokens) <= 4
