@@ -58,8 +58,12 @@ def run(quant8: bool):
         constant dispatch+readback overhead."""
         def body(x, _):
             out = model.apply(params, x)
-            nxt = images + 1e-6 * out.recon.astype(images.dtype)
-            return nxt, jnp.sum(out.num_clusters)
+            # chain by feeding the clipped reconstruction as the next
+            # input: a true data dependency with no extra (B,H,W,3) add
+            # against the base images (r2 A/B: +3% over the add-chain,
+            # which cost a scan-carry copy + a full-size elementwise add)
+            return (jnp.clip(out.recon, -1, 1).astype(images.dtype),
+                    jnp.sum(out.num_clusters))
         _, ncs = jax.lax.scan(body, images, None, length=iters)
         return jnp.sum(ncs)
 
@@ -95,12 +99,43 @@ def main():
     metric = "setok_tokenizer_throughput_256px_encode_cluster_decode"
     if SCALE != "base":
         metric += f"_{SCALE}"
-    print(json.dumps({
+    result = {
         "metric": metric,
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / TARGET, 4),
-    }))
+    }
+    print(json.dumps(result))
+    _record_history(result)
+
+
+def _record_history(result):
+    """Append to perf/history.jsonl (regression tracking, ROADMAP 12) and
+    warn on stderr when the run regresses >5% vs the best same-config
+    entry. Never fails the bench."""
+    try:
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, "perf", "history.jsonl")
+        best = 0.0
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    r = json.loads(line)
+                    if (r.get("metric") == result["metric"]
+                            and r.get("batch") == BATCH):
+                        best = max(best, r.get("value", 0.0))
+        if best and result["value"] < 0.95 * best:
+            print(f"PERF REGRESSION: {result['value']} < 95% of best "
+                  f"{best}", file=sys.stderr)
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=here).stdout.strip()
+        with open(path, "a") as f:
+            f.write(json.dumps({**result, "batch": BATCH, "git": rev,
+                                "time": time.time()}) + "\n")
+    except Exception as e:                      # noqa: BLE001
+        print(f"history record skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
