@@ -24,8 +24,7 @@ NEG_INF = -1e30
 
 
 def _fused_attn_kernel(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref,
-                       bp_ref, mask_ref, o_ref, *, num_heads, head_dim,
-                       sm_scale):
+                       bp_ref, mask_ref, o_ref, *, num_heads, head_dim):
     x = x_ref[0].astype(jnp.float32)                      # (N, C)
     n, c = x.shape
 
@@ -37,7 +36,10 @@ def _fused_attn_kernel(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref,
     qkv = qkv.astype(jnp.float32) * xs * sqkv_ref[...] + bqkv_ref[...]
 
     # per-head unrolled loop with column slices — Mosaic's vector layouts
-    # don't support the (N, C) → (H, N, D) shape cast inside kernels
+    # don't support the (N, C) → (H, N, D) shape cast inside kernels.
+    # VPU economy (PERF.md): sm_scale is pre-folded into the q dequant
+    # scales by the wrapper, masking is one bias add, and the 1/l
+    # normalization lands on (N, D) after the PV dot.
     mf = mask_ref[0]                                      # (N, N) f32 0/1
     mbias = NEG_INF * (1.0 - mf)
     heads = []
@@ -48,13 +50,14 @@ def _fused_attn_kernel(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref,
         v_h = qkv[:, 2 * c + lo:2 * c + lo + head_dim]
         s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        s_h = s_h * sm_scale * mf + mbias
-        m_h = jnp.maximum(jnp.max(s_h, axis=-1, keepdims=True), -1e30)
-        p_h = jnp.exp(s_h - m_h) * mf
-        l_h = jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True), 1e-30)
-        heads.append(jax.lax.dot_general(
-            p_h / l_h, v_h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        s_h = s_h + mbias
+        m_h = jnp.max(s_h, axis=-1, keepdims=True)
+        p_h = jnp.exp(s_h - m_h)
+        l_r = 1.0 / jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True), 1e-30)
+        l_r = jnp.where(m_h > 0.5 * NEG_INF, l_r, 0.0)
+        o_h = jax.lax.dot_general(p_h, v_h, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        heads.append(o_h * l_r)
     o = jnp.concatenate(heads, axis=1)                    # (N, C)
 
     os_ = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True),
@@ -78,6 +81,10 @@ def fused_attention_int8(x: jnp.ndarray, w_qkv: jnp.ndarray,
     head_dim = c // num_heads
     scale = sm_scale if sm_scale is not None else head_dim ** -0.5
     q1 = quantize_weight(w_qkv)
+    # fold sm_scale into the q-segment dequant scales + bias (kernel takes
+    # scores pre-scaled; saves an (N, N) VPU pass per head)
+    q1 = q1._replace(scales=q1.scales.at[:, :c].multiply(scale))
+    b_qkv = jnp.asarray(b_qkv, jnp.float32).at[:c].multiply(scale)
     q2 = quantize_weight(w_proj)
     if mask is None:
         mask_f = jnp.ones((b, n, n), jnp.float32)
@@ -86,7 +93,7 @@ def fused_attention_int8(x: jnp.ndarray, w_qkv: jnp.ndarray,
 
     return pl.pallas_call(
         functools.partial(_fused_attn_kernel, num_heads=num_heads,
-                          head_dim=head_dim, sm_scale=scale),
+                          head_dim=head_dim),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),

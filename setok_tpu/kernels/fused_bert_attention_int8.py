@@ -51,24 +51,40 @@ def _kernel(x_ref, kv_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
     mbias = NEG_INF * (1.0 - mf)                          # (1, M)
     scale = 1.0 / (head_dim ** 0.5)
     # bf16 score/PV dots with fp32 accumulation: full MXU rate (fp32 dots
-    # run quarter-rate on v5e), flash-attention accuracy class
-    q16, k16, v16 = (q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+    # run quarter-rate on v5e), flash-attention accuracy class.
+    # VPU economy (PERF.md): scale folds into q (N, C) once instead of per
+    # (N, M) score pass; masking is one bias add; 1/l lands on (N, D).
+    q16, k16, v16 = ((q * scale).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                      v.astype(jnp.bfloat16))
+    # phase-split head groups (see kernels/fused_sublayer.py::_attn_core):
+    # independent score/softmax/PV chains overlap MXU and VPU across heads
     heads = []
-    for h in range(num_heads):
-        lo = h * head_dim
-        q_h = q16[:, lo:lo + head_dim]
-        k_h = k16[:, lo:lo + head_dim]
-        v_h = v16[:, lo:lo + head_dim]
-        s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        s_h = s_h * scale * mf + mbias                    # broadcast (N, M)
-        m_h = jnp.maximum(jnp.max(s_h, axis=-1, keepdims=True), -1e30)
-        p_h = jnp.exp(s_h - m_h) * mf
-        l_h = jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True), 1e-30)
-        heads.append(jax.lax.dot_general(
-            (p_h / l_h).astype(jnp.bfloat16), v_h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+    G = 4
+    for g0 in range(0, num_heads, G):
+        grp = range(g0, min(g0 + G, num_heads))
+        ss = []
+        for h in grp:
+            lo = h * head_dim
+            q_h = q16[:, lo:lo + head_dim]
+            k_h = k16[:, lo:lo + head_dim]
+            s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ss.append(s_h + mbias)                        # broadcast (N, M)
+        ps = []
+        for s_h in ss:
+            m_h = jnp.max(s_h, axis=-1, keepdims=True)
+            p_h = jnp.exp(s_h - m_h)
+            l_r = 1.0 / jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True),
+                                    1e-30)
+            l_r = jnp.where(m_h > 0.5 * NEG_INF, l_r, 0.0)
+            ps.append((p_h.astype(jnp.bfloat16), l_r))
+        for i, h in enumerate(grp):
+            lo = h * head_dim
+            v_h = v16[:, lo:lo + head_dim]
+            o_h = jax.lax.dot_general(
+                ps[i][0], v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            heads.append(o_h * ps[i][1])
     o = jnp.concatenate(heads, axis=1)                    # (N, C)
 
     o8, os_ = _quant_rows(o)

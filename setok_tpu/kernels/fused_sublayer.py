@@ -37,14 +37,19 @@ NEG_INF = -1e30
 # VMEM is ~16 MB/core; leave headroom for Mosaic's own buffers.
 _VMEM_BUDGET = 11 * 1024 * 1024
 
+# heads per phase-split group (device-time A/B r2: groups of 4 capture the
+# full -19% MXU/VPU-overlap win of a complete split at bounded VMEM)
+_SPLIT_GROUP = 4
+
 
 def attn_fits_vmem(n: int, c: int) -> bool:
     """Whole-sequence attention sublayer per-program footprint: qkv f32,
-    int8 weights, scores. Large configs (so400m: C=4096) fall back to the
+    int8 weights, live score group (f32 scores + bf16 probs per head in a
+    _SPLIT_GROUP). Large configs (so400m: C=4096) fall back to the
     unfused path."""
     qkv = n * 3 * c * 4
     weights = 3 * c * c + c * c + 8 * c * 4
-    scores = 2 * n * n * 4
+    scores = _SPLIT_GROUP * n * n * 6
     x_io = 2 * n * c * 4
     return qkv + weights + scores + x_io < _VMEM_BUDGET
 
@@ -68,12 +73,17 @@ def _quant_rows(x):
 
 
 def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
-               num_heads, head_dim, sm_scale, mf):
+               num_heads, head_dim, mf):
     """y: (N, C) normalized input → attention output (N, C) f32.
     mf: (N, N) f32 0/1 mask or None. The qkv weight may be head-PADDED
     (head_dim rounded up to a lane-friendly multiple with zero columns,
     see _pad_head_weights) — head_dim here is the padded one; the zero
-    dims contribute nothing to any dot, so the math is unchanged."""
+    dims contribute nothing to any dot, so the math is unchanged.
+
+    VPU economy (the head loop's softmax is the kernel's limiter, PERF.md):
+    sm_scale is pre-folded into the q dequant scales by the caller (free),
+    masking is one bias add (exp(-1e30)≈0 makes the p*mf pass redundant),
+    and 1/l normalization is deferred past the PV dot onto (N, D)."""
     n, c = y.shape
     seg = num_heads * head_dim          # q/k/v segment width (≥ c if padded)
     y8, ys = _quant_rows(y)
@@ -85,27 +95,40 @@ def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
     if mf is not None:
         mbias = NEG_INF * (1.0 - mf)
     # per-head unrolled loop with static column slices — Mosaic's vector
-    # layouts don't support the (N, C) → (H, N, D) reshape inside kernels
+    # layouts don't support the (N, C) → (H, N, D) reshape inside kernels.
+    # Heads are processed in PHASE-SPLIT GROUPS: all score dots of a group,
+    # then all softmaxes, then all PV dots — the independent chains let
+    # Mosaic overlap MXU dots with VPU softmax across heads (device-time
+    # A/B: -19% vs the serialized per-head chain, PERF.md r2). Group size
+    # bounds the live (N, N) score buffers in VMEM.
     heads = []
-    for h in range(num_heads):
-        lo = h * head_dim
-        q_h = qkv16[:, lo:lo + head_dim]
-        k_h = qkv16[:, seg + lo:seg + lo + head_dim]
-        v_h = qkv16[:, 2 * seg + lo:2 * seg + lo + head_dim]
-        s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        s_h = s_h * sm_scale
-        if mf is not None:
-            s_h = s_h * mf + mbias
-        m_h = jnp.max(s_h, axis=-1, keepdims=True)
-        p_h = jnp.exp(s_h - m_h)
-        if mf is not None:
-            p_h = p_h * mf
-        l_h = jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True), 1e-30)
-        p16 = (p_h / l_h).astype(jnp.bfloat16)
-        heads.append(jax.lax.dot_general(
-            p16, v_h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+    for g0 in range(0, num_heads, _SPLIT_GROUP):
+        grp = range(g0, min(g0 + _SPLIT_GROUP, num_heads))
+        ss = []
+        for h in grp:
+            lo = h * head_dim
+            q_h = qkv16[:, lo:lo + head_dim]
+            k_h = qkv16[:, seg + lo:seg + lo + head_dim]
+            s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ss.append(s_h + mbias if mf is not None else s_h)
+        ps = []
+        for s_h in ss:
+            m_h = jnp.max(s_h, axis=-1, keepdims=True)
+            p_h = jnp.exp(s_h - m_h)
+            l_r = 1.0 / jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True),
+                                    1e-30)
+            if mf is not None:
+                # fully-masked query rows (m == NEG_INF): zero via l_r —
+                # (N, 1)-shaped, costs no (N, N) pass
+                l_r = jnp.where(m_h > 0.5 * NEG_INF, l_r, 0.0)
+            ps.append((p_h.astype(jnp.bfloat16), l_r))
+        for i, h in enumerate(grp):
+            lo = h * head_dim
+            v_h = qkv16[:, 2 * seg + lo:2 * seg + lo + head_dim]
+            o_h = jax.lax.dot_general(ps[i][0], v_h, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            heads.append(o_h * ps[i][1])
     o = jnp.concatenate(heads, axis=1)                    # (N, C)
 
     o8, os_ = _quant_rows(o)
@@ -135,22 +158,22 @@ def _pad_head_weights(w_qkv, b_qkv, w_proj, num_heads, d, dp):
 
 def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                           wp_ref, sp_ref, bp_ref, o_ref, *, num_heads,
-                          head_dim, sm_scale, ln_eps):
+                          head_dim, ln_eps):
     x = x_ref[0].astype(jnp.float32)
     y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
     a = _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
-                   num_heads, head_dim, sm_scale, None)
+                   num_heads, head_dim, None)
     o_ref[0] = (x + a).astype(o_ref.dtype)
 
 
 def _attn_sublayer_kernel_masked(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
                                  bqkv_ref, wp_ref, sp_ref, bp_ref, mask_ref,
-                                 o_ref, *, num_heads, head_dim, sm_scale,
+                                 o_ref, *, num_heads, head_dim,
                                  ln_eps):
     x = x_ref[0].astype(jnp.float32)
     y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
     a = _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
-                   num_heads, head_dim, sm_scale, mask_ref[0])
+                   num_heads, head_dim, mask_ref[0])
     o_ref[0] = (x + a).astype(o_ref.dtype)
 
 
@@ -175,6 +198,11 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
     seg = num_heads * dp
     q1 = quantize_weight(w_qkv)
     q2 = quantize_weight(w_proj)
+    # fold sm_scale into the q-segment dequant scales + bias: the kernel
+    # then needs no (N, N) scale pass (scores come out pre-scaled)
+    sq = q1.scales.at[:, :seg].multiply(scale)
+    q1 = q1._replace(scales=sq)
+    b_qkv = jnp.asarray(b_qkv, jnp.float32).at[:seg].multiply(scale)
     gg = ln_g[None].astype(jnp.float32)
     bb = ln_b[None].astype(jnp.float32)
 
@@ -195,8 +223,7 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
     if mask is None:
         return pl.pallas_call(
             functools.partial(_attn_sublayer_kernel, num_heads=num_heads,
-                              head_dim=dp, sm_scale=scale,
-                              ln_eps=ln_eps),
+                              head_dim=dp, ln_eps=ln_eps),
             grid=(b,),
             in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
             + weight_specs,
@@ -207,7 +234,7 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
 
     return pl.pallas_call(
         functools.partial(_attn_sublayer_kernel_masked, num_heads=num_heads,
-                          head_dim=dp, sm_scale=scale, ln_eps=ln_eps),
+                          head_dim=dp, ln_eps=ln_eps),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
         + weight_specs

@@ -73,8 +73,9 @@ class BertSelfAttentionCore(nn.Module):
             wo, bo = _DenseParams(c, self.param_dtype, name="out")(c)
             ln_s, ln_b = _NormParams(self.param_dtype, name="out_norm")(c)
             interpret = jax.devices()[0].platform != "tpu"
+            # f32 kernel I/O (bf16 refs relayout in-kernel; PERF.md r2)
             return fused_bert_attention_int8(
-                x.astype(self.dtype), kv.astype(self.dtype), wq, bq, wk, bk,
+                x.astype(jnp.float32), kv.astype(jnp.float32), wq, bq, wk, bk,
                 wv, bv, wo, bo, ln_s, ln_b, self.num_heads, kv_mask,
                 interpret=interpret)
         dense = lambda name: nn.Dense(c, dtype=self.dtype,
@@ -143,7 +144,7 @@ class QFormerLayer(nn.Module):
             ln_s, ln_b = _NormParams(self.param_dtype, name="ffn_norm")(
                 h.shape[-1])
             interpret = jax.devices()[0].platform != "tpu"
-            return mlp_postnorm_int8(h.astype(self.dtype), k1, b1, k2, b2,
+            return mlp_postnorm_int8(h.astype(jnp.float32), k1, b1, k2, b2,
                                      ln_s, ln_b, interpret=interpret)
         y = nn.Dense(self.mlp_hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="ffn_in")(h)

@@ -50,7 +50,8 @@ class ViTEncoderBlock(nn.Module):
             interpret = jax.devices()[0].platform != "tpu"
             g1, b1 = _LNParams(c, self.param_dtype, name="norm1")()
             aw = _AttnParams(c, self.param_dtype, name="attn")()
-            x = attn_sublayer_int8(x.astype(self.dtype), g1, b1, *aw,
+            # f32 kernel I/O (bf16 refs relayout in-kernel; PERF.md r2)
+            x = attn_sublayer_int8(x.astype(jnp.float32), g1, b1, *aw,
                                    num_heads=self.num_heads,
                                    interpret=interpret)
             g2, b2 = _LNParams(c, self.param_dtype, name="norm2")()

@@ -164,7 +164,9 @@ class Mlp(nn.Module):
             k2, b2 = _DenseParams(out_features, self.param_dtype,
                                   name="fc2")(self.hidden_features)
             interpret = jax.devices()[0].platform != "tpu"
-            return fused_mlp_int8(x.astype(self.dtype), k1, b1, k2, b2,
+            # f32 kernel I/O: bf16 refs cost a Mosaic relayout on the in-kernel
+            # f32 cast (measured ~40% slower, PERF.md r2)
+            return fused_mlp_int8(x.astype(jnp.float32), k1, b1, k2, b2,
                                   interpret=interpret)
         x = Dense(self.hidden_features, quant8=self.quant8, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="fc1")(x)
@@ -211,7 +213,7 @@ class Attention(nn.Module):
             k_p, b_p = _DenseParams(c, self.param_dtype, name="proj")(c)
             interpret = jax.devices()[0].platform != "tpu"
             return fused_attention_int8(
-                x.astype(self.dtype), k_qkv, b_qkv, k_p, b_p,
+                x.astype(jnp.float32), k_qkv, b_qkv, k_p, b_p,
                 self.num_heads, mask, scale, interpret=interpret)
 
         qkv = Dense(c * 3, use_bias=self.qkv_bias, quant8=self.quant8,
@@ -313,7 +315,8 @@ class Block(nn.Module):
                                                           mlp_sublayer_int8)
             interpret = jax.devices()[0].platform != "tpu"
             g1, b1 = _LNParams(c, self.param_dtype, name="norm1")()
-            x = x.astype(self.dtype)
+            # f32 kernel I/O (bf16 refs relayout in-kernel; PERF.md r2)
+            x = x.astype(jnp.float32)
             for i in range(self.depth):
                 aw = _AttnParams(c, self.param_dtype, name=f"attn_{i}")()
                 x = attn_sublayer_int8(x, g1, b1, *aw,
@@ -375,7 +378,7 @@ class ViTBlock(nn.Module):
             interpret = jax.devices()[0].platform != "tpu"
             g1, b1 = _LNParams(c, self.param_dtype, name="norm1")()
             aw = _AttnParams(c, self.param_dtype, name="attn")()
-            x = attn_sublayer_int8(x.astype(self.dtype), g1, b1, *aw,
+            x = attn_sublayer_int8(x.astype(jnp.float32), g1, b1, *aw,
                                    num_heads=self.num_heads, mask=mask,
                                    interpret=interpret)
             g2, b2 = _LNParams(c, self.param_dtype, name="norm2")()
