@@ -38,10 +38,15 @@ def run(quant8: bool):
     if SCALE == "so400m":
         tok_cfg = cfgs.so400m_tokenizer()
         det_cfg = cfgs.so400m_detokenizer()
+        # ~3.2B params at this scale: bf16 storage (f32 would not fit the
+        # 16 GB HBM beside activations)
+        param_dtype = jnp.bfloat16
     else:
         tok_cfg = cfgs.base_tokenizer()
         det_cfg = cfgs.base_detokenizer()
-    model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16, quant8=quant8)
+        param_dtype = jnp.float32
+    model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16,
+                  param_dtype=param_dtype, quant8=quant8)
 
     rng = jax.random.PRNGKey(0)
     shape = (BATCH, tok_cfg.vit.image_size, tok_cfg.vit.image_size, 3)
@@ -61,9 +66,12 @@ def run(quant8: bool):
             # chain by feeding the clipped reconstruction as the next
             # input: a true data dependency with no extra (B,H,W,3) add
             # against the base images (r2 A/B: +3% over the add-chain,
-            # which cost a scan-carry copy + a full-size elementwise add)
-            return (jnp.clip(out.recon, -1, 1).astype(images.dtype),
-                    jnp.sum(out.num_clusters))
+            # which cost a scan-carry copy + a full-size elementwise add).
+            # When in/out sizes differ (so400m: 384 in, 252 recon), fall
+            # back to a scalar-perturb chain (r2 A/B variant C).
+            r = jnp.clip(out.recon, -1, 1).astype(images.dtype)
+            nxt = r if r.shape == x.shape else images + jnp.mean(r)
+            return nxt, jnp.sum(out.num_clusters)
         _, ncs = jax.lax.scan(body, images, None, length=iters)
         return jnp.sum(ncs)
 

@@ -121,6 +121,17 @@ def _pad_rows(x, mult):
     return x
 
 
+def cluster_fits_vmem(n: int, c: int, block_rows: int = 128) -> bool:
+    """The density/parent kernels hold the full padded (N, C) feature block
+    plus a row tile in VMEM; at so400m scale (N=729, C=4096) that exceeds
+    the 16 MB scoped budget — fall back to the XLA path (measured a wash at
+    base scale anyway, PERF.md)."""
+    br = min(block_rows, n)
+    npad = ((n + br - 1) // br) * br
+    need = npad * c * 4 + br * c * 4 + 4 * npad * 4
+    return need < 10 * 1024 * 1024
+
+
 def dpc_density_parent(x: jnp.ndarray, k: int, block_rows: int = 128,
                        interpret: bool = False):
     """(density, parent_dist, dist_max) for x: (N, C), fused in VMEM."""

@@ -110,10 +110,12 @@ class SetokTokenizer(nn.Module):
         # no_grad in the reference (tokenizer.py:79): assignments are data,
         # not a differentiable path
         xs = jax.lax.stop_gradient(x.astype(jnp.float32))
+        from setok_tpu.kernels.cluster_pallas import (cluster_dpc_knn_pallas,
+                                                      cluster_fits_vmem)
         use_pallas = (cfg.use_pallas_cluster and token_mask is None
-                      and jax.devices()[0].platform == "tpu")
+                      and jax.devices()[0].platform == "tpu"
+                      and cluster_fits_vmem(xs.shape[-2], xs.shape[-1]))
         if use_pallas:
-            from setok_tpu.kernels.cluster_pallas import cluster_dpc_knn_pallas
             res: ClusterResult = jax.vmap(
                 lambda xi: cluster_dpc_knn_pallas(
                     xi, k=knn, k_max=cfg.k_max,

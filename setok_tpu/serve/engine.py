@@ -75,7 +75,10 @@ class ServeEngine:
     im_end_id: Optional[int] = None
     num_iter: int = 16                     # MaskGIT iterations per image
     cfg_scale: float = 1.0
-    cache_dtype: Any = jnp.float32
+    # bf16 cache halves decode-attention HBM traffic — the decode step is
+    # bandwidth-bound on cache reads (B*S*layers*2*kv*dh bytes/token), so
+    # cache width, not kernel fusion, sets its speed
+    cache_dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
         if self.prompt_len >= self.max_len:
