@@ -77,3 +77,39 @@ void resize_bilinear_normalize_batch(const uint8_t* src, int n, int sh,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-threaded batch assembly: N variably-sized uint8 HWC images ->
+// one (N, dh, dw, 3) float32 batch, work-stealing across a spawned team.
+// ctypes releases the GIL for the whole call, so this parallelizes where
+// Python-thread loops cannot. (The reference gets parallelism from torch
+// DataLoader worker *processes*, train_setok.sh --dataloader_num_workers 4;
+// this is the single-process TPU-host equivalent.)
+#include <atomic>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+void assemble_batch(const uint8_t** srcs, const int32_t* shapes, int n,
+                    float* dst, int dh, int dw,
+                    const float* mean, const float* stdd,
+                    float scale, float offset, int num_threads) {
+    std::atomic<int> next{0};
+    auto work = [&]() {
+        int i;
+        while ((i = next.fetch_add(1)) < n) {
+            resize_bilinear_normalize(
+                srcs[i], shapes[2 * i], shapes[2 * i + 1],
+                dst + (size_t)i * dh * dw * 3, dh, dw,
+                mean, stdd, scale, offset);
+        }
+    };
+    int t = std::max(1, std::min(num_threads, n));
+    std::vector<std::thread> team;
+    for (int k = 1; k < t; ++k) team.emplace_back(work);
+    work();
+    for (auto& th : team) th.join();
+}
+
+}  // extern "C"

@@ -77,6 +77,22 @@ class ImageProcessor:
     def __call__(self, img) -> np.ndarray:
         return self.preprocess(img)
 
+    def preprocess_batch(self, imgs) -> np.ndarray:
+        """Assemble N PIL/array images into one (N, size, size, 3) float
+        batch. With `use_native`, a single GIL-free C++ call fans the
+        per-image work over a thread team (csrc `assemble_batch` — the
+        single-process equivalent of the reference's DataLoader worker
+        processes); otherwise a per-image loop."""
+        if self.use_native and not self.pad_to_square:
+            from setok_tpu.data.native import assemble_batch
+            arrs = [np.asarray(im.convert("RGB"), np.uint8)
+                    if not isinstance(im, np.ndarray) else im
+                    for im in imgs]
+            out = assemble_batch(arrs, self.size, self.mean, self.std)
+            if out is not None:
+                return out
+        return np.stack([self.preprocess(im) for im in imgs])
+
 
 @dataclasses.dataclass
 class GeneratorImageProcessor:

@@ -67,3 +67,38 @@ def test_processors_native_path_close_to_pil():
     assert np.abs(a - b).mean() < 0.1
     g = GeneratorImageProcessor(size=32, use_native=True)(pil)
     assert g.min() >= -1.0001 and g.max() <= 1.0001
+
+
+def test_assemble_batch_matches_per_image():
+    """Threaded native batch assembly == per-image native calls, for
+    variably-sized inputs (csrc assemble_batch)."""
+    import numpy as np
+    from setok_tpu.data.native import assemble_batch, resize_normalize
+
+    rs = np.random.RandomState(0)
+    imgs = [rs.randint(0, 255, (h, w, 3), np.uint8)
+            for h, w in [(37, 53), (224, 224), (101, 67), (16, 300)]]
+    out = assemble_batch(imgs, 32, scale=2.0, offset=-1.0, num_threads=3)
+    if out is None:                      # no compiler in env
+        import pytest
+        pytest.skip("native library unavailable")
+    ref = np.stack([resize_normalize(im, 32, scale=2.0, offset=-1.0)
+                    for im in imgs])
+    assert np.array_equal(out, ref)
+    assert out.shape == (4, 32, 32, 3) and out.dtype == np.float32
+
+
+def test_processor_batch_native_path():
+    import numpy as np
+    from PIL import Image
+    from setok_tpu.data.image_processing import ImageProcessor
+
+    rs = np.random.RandomState(1)
+    pils = [Image.fromarray(rs.randint(0, 255, (40, 60, 3), np.uint8))
+            for _ in range(3)]
+    p_nat = ImageProcessor(size=32, use_native=True)
+    p_ref = ImageProcessor(size=32, use_native=True)
+    batch = p_nat.preprocess_batch(pils)
+    singles = np.stack([p_ref(im) for im in pils])
+    assert batch.shape == singles.shape
+    assert np.allclose(batch, singles)

@@ -213,3 +213,26 @@ def test_qlora_int8_base_training():
     merged = tr.merged_params(state)
     assert all(jnp.issubdtype(l.dtype, jnp.floating)
                for l in jax.tree_util.tree_leaves(merged))
+
+
+def test_qlora_checkpoint_roundtrip(tmp_path):
+    """Int8 base + scales + LoRA survive an orbax save/restore; training
+    resumes from the restored state (elastic story for QLoRA runs)."""
+    from setok_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    tr = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC, target_token_id=TGT,
+                       lora_enable=True, lora_r=4, quant_base=True)
+    batch = make_batch()
+    state = tr.create_state(jax.random.PRNGKey(0), batch)
+    state, _ = tr.train_step(state, batch, jax.random.PRNGKey(1))
+
+    save_checkpoint(str(tmp_path / "ck"), 1, state)
+    restored = restore_checkpoint(str(tmp_path / "ck"), target=state)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # the restored state steps
+    restored, metrics = tr.train_step(restored, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
