@@ -129,3 +129,60 @@ def test_vgg16_port_shapes():
     params = lp.init(jax.random.PRNGKey(0), x, x)
     params, unmatched = load_flat_into(params, flat)
     assert not unmatched
+
+
+def test_so400m_layout_key_coverage():
+    """The porter's key map covers the full so400m layout — 27 encoder
+    layers, patch14 — verified with a shape-reduced synthetic checkpoint
+    (widths shrunk, layer count and key space exact). VERDICT r1 item 6."""
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+    hf_cfg = SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                                num_hidden_layers=27, num_attention_heads=2,
+                                image_size=56, patch_size=14)
+    torch_model = SiglipVisionModel(hf_cfg).eval()
+    flat = port_weights.port_siglip_vision(
+        {"vision_model." + k: v for k, v in
+         sd_numpy(torch_model.vision_model).items()})
+
+    cfg = ViTConfig(image_size=56, patch_size=14, width=32, depth=27,
+                    num_heads=2, mlp_ratio=2.0, select_layer=-1)
+    vit = ViT(cfg)
+    img = np.random.RandomState(0).randn(1, 56, 56, 3).astype(np.float32)
+    params = vit.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    params, unmatched = load_flat_into(params, flat)
+    assert not unmatched, unmatched
+    ours = np.asarray(vit.apply(params, jnp.asarray(img)))
+    with torch.no_grad():
+        theirs = torch_model(
+            torch.tensor(img).permute(0, 3, 1, 2),
+            output_hidden_states=True).hidden_states[-1].numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+def test_vicuna7b_layout_key_coverage():
+    """Vicuna-7B trunk layout — 32 layers, MHA (kv == heads), untied
+    embeddings — key space exact, widths shrunk."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM as HFLlama
+    hf_cfg = HFLlamaConfig(vocab_size=128, hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=32,
+                           num_attention_heads=4, num_key_value_heads=4,
+                           max_position_embeddings=64, rms_norm_eps=1e-5,
+                           tie_word_embeddings=False,
+                           attn_implementation="eager")
+    torch_model = HFLlama(hf_cfg).eval()
+    flat = port_weights.port_llama(sd_numpy(torch_model))
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=32, num_heads=4, num_kv_heads=4, head_dim=8,
+                      max_seq_len=64)
+    ours_model = LlamaForCausalLM(cfg)
+    ids = np.random.RandomState(0).randint(3, 128, size=(1, 8))
+    params = ours_model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    params, unmatched = load_flat_into(params, flat)
+    assert not unmatched, unmatched
+    logits, _, _ = ours_model.apply(params, jnp.asarray(ids))
+    with torch.no_grad():
+        theirs = torch_model(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits), theirs, rtol=4e-3,
+                               atol=4e-3)
