@@ -45,6 +45,11 @@ from setok_tpu.models.llama import KVCache
 from setok_tpu.models.generate import find_image_spans, generate_image
 from setok_tpu.models.setokim import Setokim
 
+try:                                   # sharding types (multi-chip serving)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+except Exception:                      # pragma: no cover
+    Mesh = None
+
 
 @dataclasses.dataclass
 class Request:
@@ -79,6 +84,11 @@ class ServeEngine:
     # bandwidth-bound on cache reads (B*S*layers*2*kv*dh bytes/token), so
     # cache width, not kernel fusion, sets its speed
     cache_dtype: Any = jnp.bfloat16
+    # multi-chip serving: a (data, model) mesh TP-shards the trunk
+    # (Megatron col/row split, parallel/sharding.llama_tp_spec) and shards
+    # the KV cache over the model axis on kv-heads; GSPMD inserts the one
+    # all-reduce per block. None = single-chip.
+    mesh: Any = None
 
     def __post_init__(self):
         if self.prompt_len >= self.max_len:
@@ -92,6 +102,23 @@ class ServeEngine:
                               v=jnp.zeros(kv_shape, self.cache_dtype),
                               length=jnp.zeros((b,), jnp.int32))
         self._cache_valid = jnp.zeros((b, s), bool)
+        if self.mesh is not None:
+            from setok_tpu.parallel.mesh import MODEL_AXIS
+            from setok_tpu.parallel.sharding import setokim_shardings
+            self.params = jax.device_put(
+                self.params, setokim_shardings(self.params, self.mesh))
+            model_size = self.mesh.shape.get(MODEL_AXIS, 1)
+            kv_axis = (MODEL_AXIS
+                       if cfg.num_kv_heads % max(model_size, 1) == 0
+                       and model_size > 1 else None)
+            kv_sh = NamedSharding(self.mesh,
+                                  P(None, None, None, kv_axis, None))
+            rep = NamedSharding(self.mesh, P())
+            self._cache = KVCache(k=jax.device_put(self._cache.k, kv_sh),
+                                  v=jax.device_put(self._cache.v, kv_sh),
+                                  length=jax.device_put(self._cache.length,
+                                                        rep))
+            self._cache_valid = jax.device_put(self._cache_valid, rep)
         self._pos = jnp.zeros((b,), jnp.int32)
         self._cur_tok = jnp.full((b,), self.pad_id, jnp.int32)
         self._active = np.zeros((b,), bool)    # host-side scheduler state

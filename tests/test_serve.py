@@ -116,3 +116,32 @@ def test_text_only_request(model_and_params):
     r = eng.submit(ids, max_new_tokens=4)
     eng.run()
     assert r.done and 1 <= len(r.tokens) <= 4
+
+
+def test_tp_sharded_serving_matches_single_device(model_and_params):
+    """Multi-chip serving: a (data=4, model=2) mesh TP-shards the trunk +
+    KV cache; continuous batching must produce the same tokens as the
+    unsharded engine (8 virtual CPU devices, tests/conftest.py)."""
+    from setok_tpu import config as cfgs_
+    from setok_tpu.parallel.mesh import make_mesh
+
+    model, params = model_and_params
+    eos, pad, max_new = 2, 0, 6
+    prompts, images = zip(*[make_prompt(s) for s in range(3)])
+
+    base = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                       max_len=L + max_new + 2, eos_id=eos, pad_id=pad)
+    rb = [base.submit(p, image=im, max_new_tokens=max_new)
+          for p, im in zip(prompts, images)]
+    base.run()
+
+    mesh = make_mesh(cfgs_.MeshConfig(data=4, model=2))
+    eng = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                      max_len=L + max_new + 2, eos_id=eos, pad_id=pad,
+                      mesh=mesh)
+    rs = [eng.submit(p, image=im, max_new_tokens=max_new)
+          for p, im in zip(prompts, images)]
+    eng.run()
+
+    for a, b in zip(rs, rb):
+        assert a.tokens == b.tokens
