@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Serving CLI: continuous-batching engine over a Setokim checkpoint.
+
+Reads prompts (one per line from --prompts-file, or the built-in demo set),
+feeds them through `setok_tpu.serve.ServeEngine` — fixed slot array, one
+compiled decode graph, mid-stream admission — and prints each request's
+completion as it retires. `--tensor-parallel N` TP-shards the trunk over
+an N-way model axis (multi-chip; validated on the virtual CPU mesh).
+
+With no checkpoint this runs the tiny config with random weights as a
+living example of the serving API (tokens are arbitrary).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default="",
+                   help="flat .npz / orbax dir (models/builder.py loaders)")
+    p.add_argument("--tokenizer", default=None,
+                   help="local HF tokenizer path (word-hash fallback)")
+    p.add_argument("--prompts-file", default=None)
+    p.add_argument("--max-batch", type=int, default=4)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--max-len", type=int, default=256)
+    p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--tensor-parallel", type=int, default=1)
+    p.add_argument("--tiny", action="store_true", default=True)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from setok_tpu import config as cfgs
+    from setok_tpu.data.tokenizer import load_text_tokenizer
+    from setok_tpu.models.setokim import Setokim
+    from setok_tpu.serve import ServeEngine
+
+    cfg = cfgs.tiny_setokim() if args.tiny else cfgs.base_setokim()
+    model = Setokim(cfg, target_token_id=3)
+    tok = load_text_tokenizer(args.tokenizer,
+                              vocab_size=cfg.llama.vocab_size)
+
+    if args.prompts_file:
+        with open(args.prompts_file) as f:
+            prompts = [ln.strip() for ln in f if ln.strip()]
+    else:
+        prompts = ["Describe the image.", "What color is the sky?",
+                   "Write a haiku about clustering.",
+                   "Summarize SeTok in one line."]
+
+    rng = jax.random.PRNGKey(0)
+    enc = [np.asarray(tok.encode(t), np.int64)[:args.prompt_len]
+           for t in prompts]
+
+    if args.checkpoint:
+        from setok_tpu.models.builder import load_pretrained_model
+        model, params = load_pretrained_model(args.checkpoint, cfg,
+                                              target_token_id=3)
+    else:
+        ids0 = np.zeros((1, args.prompt_len), np.int64)
+        ids0[0, :len(enc[0])] = enc[0]
+        hw = cfg.tokenizer.vit.image_size
+        img0 = jax.numpy.zeros((1, hw, hw, 3))
+        params = model.init(rng, jax.numpy.asarray(ids0), img0,
+                            jax.numpy.asarray(ids0), img0,
+                            jax.random.PRNGKey(1), method=model.init_all)
+
+    mesh = None
+    if args.tensor_parallel > 1:
+        from setok_tpu.parallel.mesh import make_mesh
+        n = len(jax.devices())
+        mesh = make_mesh(cfgs.MeshConfig(
+            data=n // args.tensor_parallel, model=args.tensor_parallel))
+
+    eng = ServeEngine(model, params, max_batch=args.max_batch,
+                      prompt_len=args.prompt_len, max_len=args.max_len,
+                      temperature=args.temperature, mesh=mesh,
+                      eos_id=getattr(tok, "eos_token_id", 2),
+                      pad_id=getattr(tok, "pad_token_id", 0))
+    t0 = time.time()
+    reqs = [eng.submit(e, max_new_tokens=args.max_new_tokens) for e in enc]
+    pending = set(range(len(reqs)))
+    while pending:
+        eng.step()
+        for i in sorted(pending):
+            if reqs[i].done:
+                pending.discard(i)
+                print(f"[{i}] {prompts[i]!r} -> "
+                      f"{tok.decode(reqs[i].tokens)!r}")
+        if eng._queue.empty() and not eng._active.any() and all(
+                r.done for r in reqs):
+            break
+    ntok = sum(len(r.tokens) for r in reqs)
+    dt = time.time() - t0
+    print(f"{len(reqs)} requests, {ntok} tokens in {dt:.1f}s "
+          f"({ntok / max(dt, 1e-9):.1f} tok/s incl. compile)")
+
+
+if __name__ == "__main__":
+    main()
