@@ -145,3 +145,28 @@ def test_tp_sharded_serving_matches_single_device(model_and_params):
 
     for a, b in zip(rs, rb):
         assert a.tokens == b.tokens
+
+
+def test_image_span_rendering_at_retirement(model_and_params):
+    """A retired request whose tokens contain an <im_start>..<im_end> span
+    renders an image through the MaskGIT sampler + detokenizer
+    (setokim_llama.py:371-382 parity at the serving layer)."""
+    model, params = model_and_params
+    H = model.cfg.llama.hidden_size
+    im_start, im_end = 500, 501
+    eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                      max_len=L + 10, eos_id=2, pad_id=0,
+                      im_start_id=im_start, im_end_id=im_end, num_iter=2)
+    req = eng.submit(np.zeros((L,), np.int64), max_new_tokens=8)
+    # simulate a finished decode whose output contains a 3-token image span
+    req.tokens = [7, im_start, 11, 12, 13, im_end, 9]
+    req._hiddens = [np.random.RandomState(i).randn(H).astype(np.float32)
+                    for i in range(len(req.tokens))]
+    eng._slots[0] = req
+    eng._active[0] = True
+    eng._retire(0)
+    assert req.done
+    assert len(req.images_out) == 1
+    img = req.images_out[0]
+    assert img.ndim == 3 and img.shape[-1] == 3
+    assert np.isfinite(img).all()
