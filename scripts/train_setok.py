@@ -42,6 +42,12 @@ def parse_args():
     p.add_argument("--threshold", type=float, default=0.55)
     p.add_argument("--k-max", type=int, default=80)
     p.add_argument("--disc-start", type=int, default=5000)
+    p.add_argument("--lpips", action="store_true",
+                   help="enable the LPIPS perceptual term (VGG16 weights "
+                        "from --lpips-weights, else random init — useful "
+                        "only to exercise the full loss graph)")
+    p.add_argument("--lpips-weights", default=None,
+                   help=".npz from scripts/port_weights.py vgg16")
     p.add_argument("--task-type", default="caption",
                    choices=["caption", "generation"])
     p.add_argument("--tiny", action="store_true",
@@ -86,7 +92,8 @@ def main():
         gan_cfg=cfgs.GANLossConfig(disc_start=args.disc_start),
         contrastive_cfg=cfgs.ContrastiveLossConfig(
             text_embed_dim=tok_cfg.token_feat_dim),
-        train_cfg=train_cfg, use_text_encoder=args.data_path is not None)
+        train_cfg=train_cfg, use_lpips=args.lpips,
+        use_text_encoder=args.data_path is not None)
 
     # ------------------------------------------------------------------
     if args.synthetic:
@@ -143,6 +150,14 @@ def main():
     it = iter(DeviceLoader(host_batches, sharding=bs, prefetch=2))
     first = next(it)
     state = trainer.create_state(jax.random.PRNGKey(args.seed), first)
+    if args.lpips and args.lpips_weights:
+        from setok_tpu.utils.porting import load_flat_into
+        lp, unmatched = load_flat_into(state.lpips_params,
+                                       dict(np.load(args.lpips_weights)))
+        if unmatched:
+            logger.warning("lpips weights: %d unmatched keys",
+                           len(unmatched))
+        state = state.replace(lpips_params=lp)
     state = jax.tree.map(jax.device_put, state, fsdp_shardings(state, mesh))
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
