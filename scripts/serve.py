@@ -35,6 +35,9 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--tensor-parallel", type=int, default=1)
+    p.add_argument("--bits", type=int, default=16, choices=[16, 8],
+                   help="8 = int8-at-rest trunk (halves decode weight "
+                        "traffic + memory; reference load_8bit)")
     p.add_argument("--tiny", action="store_true", default=True)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -66,7 +69,8 @@ def main():
     if args.checkpoint:
         from setok_tpu.models.builder import load_pretrained_model
         model, params = load_pretrained_model(args.checkpoint, cfg,
-                                              target_token_id=3)
+                                              target_token_id=3,
+                                              bits=args.bits)
     else:
         ids0 = np.zeros((1, args.prompt_len), np.int64)
         ids0[0, :len(enc[0])] = enc[0]
@@ -75,6 +79,12 @@ def main():
         params = model.init(rng, jax.numpy.asarray(ids0), img0,
                             jax.numpy.asarray(ids0), img0,
                             jax.random.PRNGKey(1), method=model.init_all)
+
+    if args.bits == 8 and not args.checkpoint:
+        from setok_tpu.models.llama import quantize_trunk_weights
+        from setok_tpu.models.setokim import Setokim as _S
+        params = quantize_trunk_weights(params)
+        model = _S(cfg, target_token_id=3, weights_int8=True)
 
     mesh = None
     if args.tensor_parallel > 1:

@@ -50,11 +50,17 @@ def load_pretrained_model(model_path: str,
                           projector_path: Optional[str] = None,
                           target_token_id: int = 3,
                           pad_token_id: int = 0,
-                          tiny: bool = False) -> Tuple[Setokim, Any]:
+                          tiny: bool = False,
+                          bits: int = 16) -> Tuple[Setokim, Any]:
     """Returns (model, params). `model_path` may be:
       * an orbax checkpoint dir (restores Stage2State.params), or
       * '' / nonexistent → fresh init (weights then spliced from
         `projector_path` / `lora_path`).
+
+    bits=8: the LLaMA trunk is converted to int8-at-rest after all
+    splicing/merging (quantize_trunk_weights) and the returned model has
+    `weights_int8=True` — the reference's `load_8bit` serving mode
+    (builder.py:32-41) on the TPU w8a8 kernel.
     """
     cfg = model_cfg or (cfgs.tiny_setokim() if tiny else cfgs.base_setokim())
     model = Setokim(cfg, target_token_id=target_token_id,
@@ -93,6 +99,11 @@ def load_pretrained_model(model_path: str,
             lora_tree.setdefault(path, {})[ab] = data[key]
         params = merge_lora(params, lora_tree, lora_alpha, lora_r)
 
+    if bits == 8:
+        from setok_tpu.models.llama import quantize_trunk_weights
+        params = quantize_trunk_weights(params)
+        model = Setokim(cfg, target_token_id=target_token_id,
+                        pad_token_id=pad_token_id, weights_int8=True)
     return model, params
 
 

@@ -85,6 +85,7 @@ class LlamaAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False     # Pallas fused kernel (kernels/flash_attention)
+    weights_int8: bool = False  # int8-at-rest linears (ops/blocks.QuantDense)
 
     @nn.compact
     def __call__(self, x, mask, positions,
@@ -95,9 +96,14 @@ class LlamaAttention(nn.Module):
         and new entries are written at [cache_length, cache_length+L)."""
         cfg = self.cfg
         b, l, _ = x.shape
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+        if self.weights_int8:
+            from setok_tpu.ops.blocks import QuantDense
+            dense = lambda feats, name: QuantDense(feats, dtype=self.dtype,
+                                                   name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name)
         q = dense(cfg.num_heads * cfg.head_dim, "q_proj")(x)
         k = dense(cfg.num_kv_heads * cfg.head_dim, "k_proj")(x)
         v = dense(cfg.num_kv_heads * cfg.head_dim, "v_proj")(x)
@@ -159,13 +165,19 @@ class LlamaMLP(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+        if self.weights_int8:
+            from setok_tpu.ops.blocks import QuantDense
+            dense = lambda feats, name: QuantDense(feats, dtype=self.dtype,
+                                                   name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name)
         gate = nn.silu(dense(cfg.intermediate_size, "gate_proj")(x))
         up = dense(cfg.intermediate_size, "up_proj")(x)
         return dense(cfg.hidden_size, "down_proj")(gate * up)
@@ -176,6 +188,7 @@ class LlamaBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    weights_int8: bool = False
 
     @nn.compact
     def __call__(self, x, mask, positions, cache_kv=None, cache_length=None):
@@ -184,12 +197,14 @@ class LlamaBlock(nn.Module):
                     name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype,
                                       use_flash=self.use_flash,
+                                      weights_int8=self.weights_int8,
                                       name="attn")(h, mask, positions,
                                                    cache_kv, cache_length)
         x = x + h
         h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
                     name="post_attn_norm")(x)
-        x = x + LlamaMLP(cfg, self.dtype, self.param_dtype, name="mlp")(h)
+        x = x + LlamaMLP(cfg, self.dtype, self.param_dtype,
+                         weights_int8=self.weights_int8, name="mlp")(h)
         return x, new_cache
 
 
@@ -227,6 +242,7 @@ class LlamaModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    weights_int8: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, mask: jnp.ndarray,
@@ -244,7 +260,7 @@ class LlamaModel(nn.Module):
                         if cache is not None else None)
             cache_len = cache.length if cache is not None else None
             x, updated = block_cls(cfg, self.dtype, self.param_dtype,
-                                   self.use_flash,
+                                   self.use_flash, self.weights_int8,
                                    name=f"layer_{i}")(x, mask, positions,
                                                       cache_kv, cache_len)
             if updated is not None:
@@ -269,6 +285,7 @@ class LlamaForCausalLM(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    weights_int8: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -276,7 +293,8 @@ class LlamaForCausalLM(nn.Module):
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype)
         self.model = LlamaModel(cfg, self.dtype, self.param_dtype,
-                                remat=self.remat, use_flash=self.use_flash)
+                                remat=self.remat, use_flash=self.use_flash,
+                                weights_int8=self.weights_int8)
         if not cfg.tie_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
                                     dtype=self.dtype,
@@ -303,3 +321,37 @@ class LlamaForCausalLM(nn.Module):
         x = self.embed(input_ids)
         hidden, new_cache = self.model(x, mask, positions, cache)
         return self.logits(hidden), hidden, new_cache
+
+
+_TRUNK_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                  "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_trunk_weights(params):
+    """Float LlamaForCausalLM params → the weights_int8 layout.
+
+    Each trunk linear's {'kernel': (in, out) float} becomes {'q': int8,
+    's': (1, out) f32} (per-output-channel symmetric — the layout
+    `ops/blocks.QuantDense` declares and the w8a8 kernel consumes).
+    Embeddings, norms, and lm_head stay float. Works on the
+    LlamaForCausalLM subtree or any tree containing it.
+    Parity: the reference's `load_8bit` (builder.py:32-41, bnb
+    Int8Params) — recast as an offline tree transform."""
+    from setok_tpu.kernels.quant_matmul import quantize_weight
+
+    from collections.abc import Mapping
+
+    def walk(node):
+        if not isinstance(node, Mapping):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k in _TRUNK_LINEARS and isinstance(v, dict)
+                    and "kernel" in v and getattr(v["kernel"], "ndim", 0) == 2):
+                qw = quantize_weight(v["kernel"])
+                out[k] = {"q": qw.values, "s": qw.scales}
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(jax.tree_util.tree_map(lambda x: x, params))

@@ -71,12 +71,14 @@ class Setokim(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False                   # Pallas attention in the trunk
+    weights_int8: bool = False                # int8-at-rest trunk (serving)
 
     def setup(self):
         cfg = self.cfg
         self.llama = LlamaForCausalLM(cfg.llama, self.dtype,
                                       self.param_dtype, remat=self.remat,
-                                      use_flash=self.use_flash)
+                                      use_flash=self.use_flash,
+                                      weights_int8=self.weights_int8)
         self.vision_tower = SetokTokenizer(cfg.tokenizer,
                                            freeze_backbone=True,
                                            dtype=self.dtype,

@@ -64,6 +64,35 @@ class Dense(nn.Module):
         return y
 
 
+class QuantDense(nn.Module):
+    """Dense layer whose weights LIVE as int8 (+ per-output-channel fp32
+    scales) in the param tree — weight-at-rest quantization for serving.
+
+    Parity: the reference's `load_8bit` inference path (builder.py:32-41,
+    bitsandbytes Int8Params). The TPU recast: params are {'q': int8
+    (in, out), 's': (1, out) f32} produced offline by
+    `models/llama.quantize_trunk_weights`, and the forward runs the w8a8
+    Pallas kernel (dynamic per-row activation scales). Besides the MXU
+    int8 rate, storing int8 HALVES the HBM weight traffic of the decode
+    step — which is weight-bandwidth-bound at small batch — and halves
+    trunk memory. No bias (LLaMA linears are bias-free)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        q = self.param("q", nn.initializers.zeros,
+                       (x.shape[-1], self.features), jnp.int8)
+        s = self.param("s", nn.initializers.ones, (1, self.features),
+                       jnp.float32)
+        from setok_tpu.kernels.quant_matmul import (QuantizedWeight,
+                                                    quant_matmul)
+        interpret = jax.devices()[0].platform != "tpu"
+        return quant_matmul(x, QuantizedWeight(values=q, scales=s),
+                            out_dtype=self.dtype, interpret=interpret)
+
+
 def mask_to_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32) -> Optional[jnp.ndarray]:
     """Boolean attention mask (True = attend) → additive bias."""
     if mask is None:

@@ -170,3 +170,35 @@ def test_image_span_rendering_at_retirement(model_and_params):
     img = req.images_out[0]
     assert img.ndim == 3 and img.shape[-1] == 3
     assert np.isfinite(img).all()
+
+
+def test_int8_weights_serving(model_and_params):
+    """8-bit weight-at-rest serving (reference load_8bit equivalent):
+    the int8 trunk decodes through the engine; first-token logits agree
+    with the float model to quantization tolerance."""
+    from setok_tpu.models.llama import quantize_trunk_weights
+
+    model, params = model_and_params
+    model8 = Setokim(model.cfg, target_token_id=TGT,
+                     weights_int8=True)
+    params8 = quantize_trunk_weights(params)
+    # trunk kernels are int8 now
+    n_int8 = sum(1 for l in jax.tree_util.tree_leaves(params8)
+                 if l.dtype == jnp.int8)
+    assert n_int8 > 0
+
+    ids, img = make_prompt(3)
+    eng = ServeEngine(model8, params8, max_batch=1, prompt_len=L,
+                      max_len=L + 6, eos_id=2, pad_id=0)
+    r = eng.submit(ids, image=img, max_new_tokens=4)
+    eng.run()
+    assert r.done and len(r.tokens) >= 1
+
+    # logits agreement on the prompt forward
+    lf, _, _ = model.apply(params, jnp.asarray(ids)[None],
+                           method=lambda m, i: m.llama(i))
+    lq, _, _ = model8.apply(params8, jnp.asarray(ids)[None],
+                            method=lambda m, i: m.llama(i))
+    lf, lq = np.asarray(lf), np.asarray(lq)
+    corr = np.corrcoef(lf.ravel(), lq.ravel())[0, 1]
+    assert corr > 0.99, corr
