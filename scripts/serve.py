@@ -43,6 +43,13 @@ def main():
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.tensor_parallel > 1:
+            # provision a virtual device mesh before the backend initializes
+            # (same trick as __graft_entry__.dryrun_multichip)
+            n = max(args.tensor_parallel, 2)
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n}").strip()
 
     from setok_tpu import config as cfgs
     from setok_tpu.data.tokenizer import load_text_tokenizer
