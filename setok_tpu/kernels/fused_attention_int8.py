@@ -42,22 +42,34 @@ def _fused_attn_kernel(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref,
     # normalization lands on (N, D) after the PV dot.
     mf = mask_ref[0]                                      # (N, N) f32 0/1
     mbias = NEG_INF * (1.0 - mf)
+    # phase-split head groups (kernels/fused_sublayer.py::_attn_core):
+    # independent score/softmax/PV chains overlap MXU and VPU
     heads = []
-    for h in range(num_heads):
-        lo = h * head_dim
-        q_h = qkv[:, lo:lo + head_dim]                  # static slices
-        k_h = qkv[:, c + lo:c + lo + head_dim]
-        v_h = qkv[:, 2 * c + lo:2 * c + lo + head_dim]
-        s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        s_h = s_h + mbias
-        m_h = jnp.max(s_h, axis=-1, keepdims=True)
-        p_h = jnp.exp(s_h - m_h)
-        l_r = 1.0 / jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True), 1e-30)
-        l_r = jnp.where(m_h > 0.5 * NEG_INF, l_r, 0.0)
-        o_h = jax.lax.dot_general(p_h, v_h, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        heads.append(o_h * l_r)
+    G = 4
+    for g0 in range(0, num_heads, G):
+        grp = range(g0, min(g0 + G, num_heads))
+        ss = []
+        for h in grp:
+            lo = h * head_dim
+            q_h = qkv[:, lo:lo + head_dim]              # static slices
+            k_h = qkv[:, c + lo:c + lo + head_dim]
+            s_h = jax.lax.dot_general(q_h, k_h, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ss.append(s_h + mbias)
+        ps = []
+        for s_h in ss:
+            m_h = jnp.max(s_h, axis=-1, keepdims=True)
+            p_h = jnp.exp(s_h - m_h)
+            l_r = 1.0 / jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True),
+                                    1e-30)
+            l_r = jnp.where(m_h > 0.5 * NEG_INF, l_r, 0.0)
+            ps.append((p_h, l_r))
+        for i, h in enumerate(grp):
+            lo = h * head_dim
+            v_h = qkv[:, 2 * c + lo:2 * c + lo + head_dim]
+            o_h = jax.lax.dot_general(ps[i][0], v_h, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            heads.append(o_h * ps[i][1])
     o = jnp.concatenate(heads, axis=1)                    # (N, C)
 
     os_ = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True),
