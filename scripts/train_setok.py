@@ -48,6 +48,9 @@ def parse_args():
                         "only to exercise the full loss graph)")
     p.add_argument("--lpips-weights", default=None,
                    help=".npz from scripts/port_weights.py vgg16")
+    p.add_argument("--offload-optimizer", action="store_true",
+                   help="park adam moments in pinned host memory "
+                        "(zero3_offload equivalent; TPU only)")
     p.add_argument("--task-type", default="caption",
                    choices=["caption", "generation"])
     p.add_argument("--tiny", action="store_true",
@@ -93,6 +96,7 @@ def main():
         contrastive_cfg=cfgs.ContrastiveLossConfig(
             text_embed_dim=tok_cfg.token_feat_dim),
         train_cfg=train_cfg, use_lpips=args.lpips,
+        offload_optimizer=args.offload_optimizer,
         use_text_encoder=args.data_path is not None)
 
     # ------------------------------------------------------------------

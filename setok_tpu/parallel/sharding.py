@@ -108,3 +108,48 @@ def setokim_shardings(tree: Any, mesh: Mesh,
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(walk, tree)
+
+
+# ---------------------------------------------------------------------------
+# Host offload (the reference's zero3_offload.json equivalent): park a
+# pytree (typically optimizer state) in pinned host memory and stream it
+# to HBM only inside the step. Works inside AND outside jit —
+# TransferToMemoryKind preserves the existing sharding.
+
+
+def offload_to_host(tree: Any) -> Any:
+    """Move every leaf to pinned_host memory (sharding preserved).
+
+    Inside jit this lowers to a memory-space annotation (`jax.memory.
+    Space.Host`) — effective on TPU, a no-op on the CPU backend, which
+    doesn't implement the placement custom-call. Outside jit the leaf's
+    own sharding is re-targeted at pinned_host."""
+    import jax.memory as jm
+    from jax.core import Tracer
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def move(x):
+        if not hasattr(x, "shape"):
+            return x
+        if isinstance(x, Tracer):
+            # in-jit annotation aborts on the CPU backend — no-op there
+            return jax.device_put(x, jm.Space.Host) if on_tpu else x
+        return jax.device_put(x, x.sharding.with_memory_kind("pinned_host"))
+
+    return jax.tree_util.tree_map(move, tree)
+
+
+def fetch_to_device(tree: Any) -> Any:
+    """Bring an offloaded pytree back to device (HBM) memory."""
+    import jax.memory as jm
+    from jax.core import Tracer
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def move(x):
+        if not hasattr(x, "shape"):
+            return x
+        if isinstance(x, Tracer):
+            return jax.device_put(x, jm.Space.Device) if on_tpu else x
+        return jax.device_put(x, x.sharding.with_memory_kind("device"))
+
+    return jax.tree_util.tree_map(move, tree)

@@ -65,6 +65,10 @@ class Stage1Trainer:
     train_cfg: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     use_lpips: bool = False     # enable once VGG weights are ported
     use_text_encoder: bool = False  # encode input_ids_for_contrastive in-graph
+    # park adam moments in pinned host memory between steps (the
+    # reference's zero3_offload.json story): trades a host<->HBM stream
+    # per step for HBM capacity. parallel/sharding.offload_to_host.
+    offload_optimizer: bool = False
 
     def __post_init__(self):
         # mixed precision: bf16 activations on the MXU, fp32 params/opt
@@ -119,8 +123,17 @@ class Stage1Trainer:
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params, disc_params=disc_params,
             lpips_params=lpips_params,
-            gen_opt_state=self.gen_opt.init(gen_params),
-            disc_opt_state=self.disc_opt.init(disc_params))
+            gen_opt_state=self._maybe_offload(self.gen_opt.init(gen_params)),
+            disc_opt_state=self._maybe_offload(
+                self.disc_opt.init(disc_params)))
+
+    def _maybe_offload(self, opt_state):
+        import jax as _jax
+        if (not self.offload_optimizer
+                or _jax.devices()[0].platform != "tpu"):
+            return opt_state       # offload is a TPU memory-space feature
+        from setok_tpu.parallel.sharding import offload_to_host
+        return offload_to_host(opt_state)
 
     # ------------------------------------------------------------------
     def _rec_terms(self, recon, gold, lpips_params):
@@ -222,8 +235,15 @@ class Stage1Trainer:
 
         (gen_loss, (metrics, recon)), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params)
+        gen_opt_in = state.gen_opt_state
+        if self.offload_optimizer:
+            from setok_tpu.parallel.sharding import (fetch_to_device,
+                                                     offload_to_host)
+            gen_opt_in = fetch_to_device(gen_opt_in)
         gen_updates, gen_opt_state = self.gen_opt.update(
-            gen_grads, state.gen_opt_state, state.gen_params)
+            gen_grads, gen_opt_in, state.gen_params)
+        if self.offload_optimizer:
+            gen_opt_state = offload_to_host(gen_opt_state)
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
 
         # ---------------- discriminator ----------------
@@ -241,8 +261,15 @@ class Stage1Trainer:
 
         (d_loss, (lr_mean, lf_mean)), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(state.disc_params)
+        disc_opt_in = state.disc_opt_state
+        if self.offload_optimizer:
+            from setok_tpu.parallel.sharding import (fetch_to_device,
+                                                     offload_to_host)
+            disc_opt_in = fetch_to_device(disc_opt_in)
         disc_updates, disc_opt_state = self.disc_opt.update(
-            disc_grads, state.disc_opt_state)
+            disc_grads, disc_opt_in)
+        if self.offload_optimizer:
+            disc_opt_state = offload_to_host(disc_opt_state)
         disc_params = optax.apply_updates(state.disc_params, disc_updates)
 
         metrics.update(total_loss=gen_loss, d_loss=d_loss,
