@@ -194,7 +194,18 @@ class SetokimConfig:
     mm_use_im_start_end: bool = True
     # number of <target> placeholder tokens a generation span expands to
     # (base_dataset.py:123-127 expands <target> to target_num copies).
-    target_num: int = 64
+    # Must equal tokenizer.k_max (the static token budget per image);
+    # None derives it, so SetokimConfig() is self-consistent by default.
+    target_num: Optional[int] = None
+
+    def __post_init__(self):
+        if self.target_num is None:
+            object.__setattr__(self, "target_num", self.tokenizer.k_max)
+        elif self.target_num != self.tokenizer.k_max:
+            raise ValueError(
+                f"target_num ({self.target_num}) must equal tokenizer.k_max "
+                f"({self.tokenizer.k_max}): a generation span expands to one "
+                "<target> slot per static token.")
 
 
 @dataclass(frozen=True)

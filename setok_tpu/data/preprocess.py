@@ -184,7 +184,6 @@ def preprocess_mpt(sources: Sequence[Source], tokenizer,
             lbl = [IGNORE_INDEX] * len(ids)
         input_ids.append(ids)
         labels.append(lbl)
-    del instr_sep
     return dict(input_ids=input_ids, labels=labels)
 
 

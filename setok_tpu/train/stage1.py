@@ -69,6 +69,11 @@ class Stage1Trainer:
     # reference's zero3_offload.json story): trades a host<->HBM stream
     # per step for HBM capacity. parallel/sharding.offload_to_host.
     offload_optimizer: bool = False
+    # 8 = block-quantized int8 adam moments (train/opt8.py — bnb Adam8bit
+    # equivalent, setok_trainer.py:153-183); embedding tables are the
+    # reference's fp32 carve-out, and stage-1 has none, so 8 applies to
+    # the whole generator tree.
+    optim_bits: int = 32
 
     def __post_init__(self):
         # mixed precision: bf16 activations on the MXU, fp32 params/opt
@@ -90,8 +95,12 @@ class Stage1Trainer:
         warmup = min(tc.warmup_steps, max(tc.total_steps - 1, 0))
         sched = optax.warmup_cosine_decay_schedule(
             0.0, tc.learning_rate, warmup, tc.total_steps)
-        self.gen_opt = optax.adamw(sched, b1=tc.beta1, b2=tc.beta2,
-                                   weight_decay=tc.weight_decay)
+        if self.optim_bits == 8:
+            from setok_tpu.train.opt8 import adam8bit
+            self.gen_opt = adam8bit(sched, b1=tc.beta1, b2=tc.beta2)
+        else:
+            self.gen_opt = optax.adamw(sched, b1=tc.beta1, b2=tc.beta2,
+                                       weight_decay=tc.weight_decay)
         self.disc_opt = optax.adam(tc.disc_learning_rate, b1=tc.beta1,
                                    b2=tc.beta2)
 
@@ -289,10 +298,14 @@ def _eval_step_impl(trainer: "Stage1Trainer", gen_params, batch):
             "num_clusters": jnp.mean(out.num_clusters.astype(jnp.float32))}
 
 
+# Module-level jit so repeated eval_step calls share one compile cache
+# (a fresh jax.jit wrapper per call would recompile every time).
+_eval_step_jit = jax.jit(_eval_step_impl, static_argnums=0)
+
+
 def eval_step(trainer: "Stage1Trainer", state: Stage1State, batch):
     """Reconstruction-quality eval (PSNR/SSIM over a held-out batch)."""
-    return jax.jit(_eval_step_impl, static_argnums=0)(
-        trainer, state.gen_params, batch)
+    return _eval_step_jit(trainer, state.gen_params, batch)
 
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray,

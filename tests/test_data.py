@@ -1,6 +1,8 @@
 """Data layer tests: conversations, mm tokens, preprocess masking, collator,
 sampler — with a toy word-level tokenizer."""
 
+import zlib
+
 import numpy as np
 
 from setok_tpu.constants import (DEFAULT_IMAGE_TOKEN, DEFAULT_TARGET_TOKEN,
@@ -25,7 +27,7 @@ class ToyTokenizer:
     def encode(self, text):
         ids = [self.bos_token_id]
         for w in text.split():
-            ids.append(2 + (hash(w) % 5000))
+            ids.append(2 + (zlib.crc32(w.encode()) % 5000))
         return ids
 
     def decode(self, ids):

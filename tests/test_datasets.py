@@ -2,6 +2,7 @@
 
 import json
 import os
+import zlib
 
 import numpy as np
 import pytest
@@ -21,7 +22,7 @@ class ToyTokenizer:
     bos_token_id = 1
 
     def encode(self, text):
-        return [1] + [2 + (hash(w) % 5000) for w in text.split()]
+        return [1] + [2 + (zlib.crc32(w.encode()) % 5000) for w in text.split()]
 
 
 @pytest.fixture(scope="module")
