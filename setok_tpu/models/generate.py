@@ -158,21 +158,48 @@ def generate_image(model: Setokim, params, hidden_span: jnp.ndarray,
         params, hidden_span, rng)
 
 
+def pad_to(ids: np.ndarray, width: int, pad_id: int = 0) -> np.ndarray:
+    out = np.full((width,), pad_id, dtype=ids.dtype)
+    out[:len(ids)] = ids
+    return out
+
+
+def truncate_at_stop(ids: np.ndarray, stopping) -> np.ndarray:
+    """Cut a 1-D id sequence at the earliest keyword stop (keyword kept,
+    like the reference's StoppingCriteria semantics — generation halts
+    *after* the keyword is emitted, mm_utils.py:247-264)."""
+    for t in range(1, len(ids) + 1):
+        if stopping.should_stop(ids[:t].tolist()):
+            return ids[:t]
+    return ids
+
+
 def generate(model: Setokim, params, input_ids, images,
              max_new_tokens: int = 64, rng: Optional[jax.Array] = None,
              temperature: float = 0.0, eos_id: int = 2,
              im_start_id: Optional[int] = None,
              im_end_id: Optional[int] = None, num_iter: int = 16,
-             cfg_scale: float = 1.0):
+             cfg_scale: float = 1.0, stopping=None):
     """Full multimodal generate: text + any images the model decided to emit.
 
     Returns (tokens (B, T) numpy, list over batch of lists of images).
+
+    stopping: optional KeywordsStoppingCriteria (data/mm_tokens.py). The
+    decode loop is one compiled scan, so keyword stopping is applied as a
+    host-side truncation of each row afterwards — same returned text as the
+    reference's per-step criteria (mm_utils.py:232-264), without breaking
+    the single-graph decode. The serving engine (serve/engine.py) stops
+    per-step for real, since its loop is host-driven anyway.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
     out = generate_text(model, params, input_ids, images, max_new_tokens,
                         rng, temperature=temperature, eos_id=eos_id)
     ids = np.asarray(out.tokens)
+    if stopping is not None:
+        ids = np.stack([
+            pad_to(truncate_at_stop(row, stopping), ids.shape[1])
+            for row in ids])
     images_out: List[List[np.ndarray]] = [[] for _ in range(ids.shape[0])]
     if im_start_id is not None and im_end_id is not None:
         for bi in range(ids.shape[0]):

@@ -72,13 +72,18 @@ class Setokim(nn.Module):
     remat: bool = False
     use_flash: bool = False                   # Pallas attention in the trunk
     weights_int8: bool = False                # int8-at-rest trunk (serving)
+    # sequence-parallel training: a (data, seq) mesh routes trunk attention
+    # through the K/V ring (parallel/ring_attention.py); the global (L, L)
+    # attention mask is never materialized (long-context, SURVEY §5)
+    ring_mesh: Any = None
 
     def setup(self):
         cfg = self.cfg
         self.llama = LlamaForCausalLM(cfg.llama, self.dtype,
                                       self.param_dtype, remat=self.remat,
                                       use_flash=self.use_flash,
-                                      weights_int8=self.weights_int8)
+                                      weights_int8=self.weights_int8,
+                                      ring_mesh=self.ring_mesh)
         self.vision_tower = SetokTokenizer(cfg.tokenizer,
                                            freeze_backbone=True,
                                            dtype=self.dtype,
@@ -174,19 +179,36 @@ class Setokim(nn.Module):
             positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
             embeds = self.llama.embed(input_ids)
 
-        mask = make_attention_mask(valid, positions)
-        hidden, _ = self.llama.model(embeds, mask, positions)
+        if self.ring_mesh is not None:
+            # ring attention derives causality from positions/valid per
+            # shard — no (B, 1, L, L) global mask tensor exists
+            hidden, _ = self.llama.model(embeds, None, positions,
+                                         valid=valid)
+        else:
+            mask = make_attention_mask(valid, positions)
+            hidden, _ = self.llama.model(embeds, mask, positions)
         logits = self.llama.logits(hidden)
 
         lm_loss = jnp.zeros(())
         if labels is not None:
             is_target = labels == self.target_token_id
             ce_labels = jnp.where(is_target, IGNORE_INDEX, labels)
-            # shift: tokens < n predict n, over valid positions
-            shift_logits = logits[:, :-1]
+            # Shifted CE in the hole layout: the predictor of token j is the
+            # LAST VALID position before j, not raw index j-1 — a hole (an
+            # unused image slot / interior pad) right before a text token
+            # must not contribute its garbage logits. This matches the
+            # reference's packed layout, where the predictor is always the
+            # preceding *real* token (setokim_llama.py:146-160).
+            l_idx = jnp.arange(labels.shape[1])
+            last_valid = jax.lax.cummax(
+                jnp.where(valid, l_idx[None, :], -1), axis=1)   # (B, L)
+            pred_idx = last_valid[:, :-1]                       # predictor of j+1
             shift_labels = ce_labels[:, 1:]
-            shift_valid = valid[:, 1:] & (shift_labels != IGNORE_INDEX)
-            logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), -1)
+            shift_valid = (valid[:, 1:] & (shift_labels != IGNORE_INDEX)
+                           & (pred_idx >= 0))
+            pred_logits = jnp.take_along_axis(
+                logits, jnp.maximum(pred_idx, 0)[..., None], axis=1)
+            logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), -1)
             picked = jnp.take_along_axis(
                 logp, jnp.maximum(shift_labels, 0)[..., None], -1)[..., 0]
             denom = jnp.maximum(jnp.sum(shift_valid), 1)
@@ -268,7 +290,23 @@ class Setokim(nn.Module):
 
         Returns (logits_last, hidden_last, cache, valid, positions)."""
         embeds, valid, positions = self.prepare_multimodal(input_ids, images)
-        b, l = input_ids.shape
+        return self._prefill_trunk(embeds, valid, positions, max_len,
+                                   cache_dtype)
+
+    def prefill_text(self, input_ids, max_len: int, *,
+                     cache_dtype=jnp.float32):
+        """Text-only prefill: same contract as `prefill` but skips the
+        vision tower entirely (serving fast-path for text-only requests —
+        the reference's generate() also only encodes when images are
+        passed, setokim_llama.py:285-300)."""
+        valid = input_ids != self.pad_token_id
+        positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        embeds = self.llama.embed(input_ids)
+        return self._prefill_trunk(embeds, valid, positions, max_len,
+                                   cache_dtype)
+
+    def _prefill_trunk(self, embeds, valid, positions, max_len, cache_dtype):
+        b, l = valid.shape
         cache = init_cache(self.cfg.llama, b, max_len, dtype=cache_dtype)
         # key validity over the whole cache width: prompt part = valid,
         # future part filled during decode

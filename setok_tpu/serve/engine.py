@@ -58,6 +58,11 @@ class Request:
     prompt_ids: np.ndarray                 # (L,) int — collator layout
     image: Optional[np.ndarray] = None     # (H, W, 3) float or None
     max_new_tokens: int = 64
+    # optional KeywordsStoppingCriteria (data/mm_tokens.py): checked after
+    # every decoded token, so keyword stops free the slot immediately
+    # (true per-step stopping — the loop here is host-driven, unlike the
+    # compiled scan in models/generate.py)
+    stopping: Optional[Any] = None
     # results
     tokens: List[int] = dataclasses.field(default_factory=list)
     images_out: List[np.ndarray] = dataclasses.field(default_factory=list)
@@ -125,7 +130,11 @@ class ServeEngine:
         self._rng = jax.random.PRNGKey(0)
 
         self._prefill = jax.jit(partial(self._prefill_impl, self.model,
-                                        self.max_len, self.cache_dtype))
+                                        self.max_len, self.cache_dtype,
+                                        self.temperature))
+        self._prefill_text = jax.jit(partial(
+            self._prefill_text_impl, self.model, self.max_len,
+            self.cache_dtype, self.temperature))
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3))
         self._step = jax.jit(partial(self._step_impl, self.model,
                                      self.temperature, self.pad_id),
@@ -134,12 +143,32 @@ class ServeEngine:
     # ------------------------------------------------------------------
     # jitted pieces (static through partial; compiled once per engine)
     @staticmethod
-    def _prefill_impl(model, max_len, cache_dtype, params, ids, images):
+    def _first_token(logits, temperature, rng):
+        # same policy as decode steps: greedy at t=0, categorical otherwise
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(
+            rng, logits / temperature, axis=-1).astype(jnp.int32)
+
+    @staticmethod
+    def _prefill_impl(model, max_len, cache_dtype, temperature, params, ids,
+                      images, rng):
         logits, _, cache, cache_valid, _ = model.apply(
             params, ids, images, max_len, cache_dtype=cache_dtype,
             method=model.prefill)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        first = ServeEngine._first_token(logits, temperature, rng)
+        return cache, cache_valid, next_pos, first
+
+    @staticmethod
+    def _prefill_text_impl(model, max_len, cache_dtype, temperature, params,
+                           ids, rng):
+        # text-only fast path: never touches the vision tower
+        logits, _, cache, cache_valid, _ = model.apply(
+            params, ids, max_len, cache_dtype=cache_dtype,
+            method=model.prefill_text)
+        next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
+        first = ServeEngine._first_token(logits, temperature, rng)
         return cache, cache_valid, next_pos, first
 
     @staticmethod
@@ -178,10 +207,11 @@ class ServeEngine:
                 nxt, hidden)
 
     # ------------------------------------------------------------------
-    def submit(self, prompt_ids, image=None, max_new_tokens: int = 64
-               ) -> Request:
+    def submit(self, prompt_ids, image=None, max_new_tokens: int = 64,
+               stopping=None) -> Request:
         req = Request(prompt_ids=np.asarray(prompt_ids, np.int32),
-                      image=image, max_new_tokens=max_new_tokens)
+                      image=image, max_new_tokens=max_new_tokens,
+                      stopping=stopping)
         self._queue.put(req)
         return req
 
@@ -189,14 +219,14 @@ class ServeEngine:
         ids = np.full((1, self.prompt_len), self.pad_id, np.int32)
         p = req.prompt_ids[-self.prompt_len:]
         ids[0, :len(p)] = p
-        cfg = self.model.cfg
+        self._rng, rk = jax.random.split(self._rng)
         if req.image is not None:
             images = jnp.asarray(req.image, jnp.float32)[None]
+            row_cache, row_valid, row_pos, first = self._prefill(
+                self.params, jnp.asarray(ids), images, rk)
         else:
-            hw = cfg.tokenizer.vit.image_size
-            images = jnp.zeros((1, hw, hw, 3), jnp.float32)
-        row_cache, row_valid, row_pos, first = self._prefill(
-            self.params, jnp.asarray(ids), images)
+            row_cache, row_valid, row_pos, first = self._prefill_text(
+                self.params, jnp.asarray(ids), rk)
         (self._cache, self._cache_valid, self._pos,
          self._cur_tok) = self._insert(
             self._cache, self._cache_valid, self._pos, self._cur_tok,
@@ -261,7 +291,9 @@ class ServeEngine:
             req.tokens.append(tok)
             budget_done = (len(req.tokens) >= req.max_new_tokens
                            or int(self._pos[slot]) >= self.max_len - 1)
-            if tok == self.eos_id or budget_done:
+            kw_done = (req.stopping is not None
+                       and req.stopping.should_stop(req.tokens))
+            if tok == self.eos_id or budget_done or kw_done:
                 self._retire(slot)
         return int(self._active.sum())
 

@@ -118,6 +118,76 @@ def test_text_only_request(model_and_params):
     assert r.done and 1 <= len(r.tokens) <= 4
 
 
+def test_text_only_fast_path_matches_zero_image_prefill(model_and_params):
+    """Text-only admits take the vision-tower-free prefill graph; tokens
+    must equal the multimodal graph fed a zeros image (the pre-fast-path
+    behavior) since no IMAGE_TOKEN_INDEX slots exist to splice."""
+    model, params = model_and_params
+    hw = model.cfg.tokenizer.vit.image_size
+    ids = np.zeros((L,), np.int64)
+    ids[0] = 1
+    ids[1:7] = [17, 23, 101, 47, 310, 9]
+
+    eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                      max_len=L + 8, eos_id=2, pad_id=0)
+    r_text = eng.submit(ids, max_new_tokens=6)
+    eng.run()
+
+    zeros_img = np.zeros((hw, hw, 3), np.float32)
+    eng2 = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                       max_len=L + 8, eos_id=2, pad_id=0)
+    r_img = eng2.submit(ids, image=zeros_img, max_new_tokens=6)
+    eng2.run()
+
+    assert r_text.tokens == r_img.tokens
+
+
+def test_first_token_respects_temperature(model_and_params):
+    """With temperature>0 the first token after prefill is sampled (not
+    the old unconditional argmax): across several rng keys at high
+    temperature, at least one first token must differ from greedy."""
+    model, params = model_and_params
+    ids = np.zeros((1, L), np.int32)
+    ids[0, 0] = 1
+    ids[0, 1:5] = [17, 23, 101, 47]
+
+    greedy_eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                             max_len=L + 4, eos_id=2, pad_id=0,
+                             temperature=0.0)
+    hot_eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                          max_len=L + 4, eos_id=2, pad_id=0,
+                          temperature=8.0)
+    _, _, _, greedy = greedy_eng._prefill_text(
+        params, jnp.asarray(ids), jax.random.PRNGKey(0))
+    firsts = set()
+    for seed in range(6):
+        _, _, _, first = hot_eng._prefill_text(
+            params, jnp.asarray(ids), jax.random.PRNGKey(seed))
+        firsts.add(int(first[0]))
+    # 6 draws at T=8 over a ~512-way near-uniform distribution: all equal
+    # to greedy has probability ~(1/512)^6
+    assert firsts != {int(greedy[0])}
+
+
+def test_keyword_stopping_retires_slot(model_and_params):
+    """A request with a stopping criteria retires as soon as it fires,
+    before the token budget (KeywordsStoppingCriteria wiring,
+    mm_utils.py:232-264 parity at the serving layer)."""
+    model, params = model_and_params
+
+    class StopAfterTwo:
+        def should_stop(self, tokens):
+            return len(tokens) >= 2
+
+    ids, img = make_prompt(4)
+    eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                      max_len=L + 12, eos_id=2, pad_id=0)
+    r = eng.submit(ids, image=img, max_new_tokens=10,
+                   stopping=StopAfterTwo())
+    eng.run()
+    assert r.done and len(r.tokens) == 2
+
+
 def test_tp_sharded_serving_matches_single_device(model_and_params):
     """Multi-chip serving: a (data=4, model=2) mesh TP-shards the trunk +
     KV cache; continuous batching must produce the same tokens as the
