@@ -171,8 +171,18 @@ def dpc_density_parent(x: jnp.ndarray, k: int, block_rows: int = 128,
         interpret=interpret,
     )(xp, xp, dens_p, dens_p)
     parent = parent[0, :n]
-    dist_max = jnp.max(rowmax[0, :n])
-    parent = jnp.minimum(parent, dist_max)
+    rowmax_v = rowmax[0, :n]
+    dist_max = jnp.max(rowmax_v)
+    # Reference fill semantics (ops/clustering.py docstring): non-higher
+    # entries fill with the per-column row max, so
+    #   parent_ref[i] = min( min_{higher j} dist[i,j],
+    #                        min_{non-higher j} rowmax[j] ).
+    # The kernel computed the first term (1e30 fill); the second needs only
+    # densities + the (N,) row maxes — an O(N²) scalar pass, no distances.
+    higher = density[None, :] > density[:, None]
+    fill_min = jnp.min(jnp.where(higher, jnp.inf, rowmax_v[None, :]),
+                       axis=-1)
+    parent = jnp.minimum(parent, fill_min)
 
     return density, parent, dist_max
 

@@ -96,7 +96,8 @@ class SetokDeTokenizer(nn.Module):
                          dtype=self.dtype,
                          param_dtype=self.param_dtype,
                          name=f"pixel_decoder_{i}")(x, deterministic=deterministic)
-        hidden = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+        hidden = nn.LayerNorm(epsilon=1e-5,      # torch default (ref norm)
+                              dtype=self.dtype, param_dtype=self.param_dtype,
                               name="decoder_norm")(x)
 
         # pixel head (absent from the truncated reference forward; MAR-style)

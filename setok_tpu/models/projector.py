@@ -24,7 +24,8 @@ class MLPProjector(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+            x = nn.LayerNorm(epsilon=1e-5,       # torch default
+                             dtype=self.dtype, param_dtype=self.param_dtype,
                              name="pre_norm")(x)
         for i in range(self.depth):
             if i > 0:

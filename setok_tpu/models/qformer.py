@@ -148,7 +148,8 @@ class QFormerLayer(nn.Module):
                                      ln_s, ln_b, interpret=interpret)
         y = nn.Dense(self.mlp_hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="ffn_in")(h)
-        y = nn.gelu(y)
+        # HF Bert hidden_act='gelu' is the exact erf form (ACT2FN['gelu'])
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(h.shape[-1], dtype=self.dtype,
                      param_dtype=self.param_dtype, name="ffn_out")(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)

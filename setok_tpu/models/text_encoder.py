@@ -58,7 +58,9 @@ class TextEncoder(nn.Module):
                                                 deterministic=deterministic)
             y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                              name=f"norm2_{i}")(x)
-            x = x + Mlp(hidden_features=self.width * 4, dtype=self.dtype,
+            # SigLIP towers use the tanh-approx gelu
+            x = x + Mlp(hidden_features=self.width * 4, gelu_exact=False,
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"mlp_{i}")(y, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,

@@ -67,7 +67,10 @@ class ViTEncoderBlock(nn.Module):
                           name="attn")(y, deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm2")(x)
+        # SigLIP uses hidden_act='gelu_pytorch_tanh' — the tanh approximation,
+        # unlike the exact-erf nn.GELU of the SeTok/timm blocks
         x = x + Mlp(hidden_features=int(c * self.mlp_ratio),
+                    gelu_exact=False,
                     quant8=self.quant8, dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name="mlp")(y, deterministic=deterministic)

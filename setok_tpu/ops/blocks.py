@@ -174,17 +174,25 @@ class Mlp(nn.Module):
 
     hidden_features: int
     out_features: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Optional[Callable] = None   # None → GELU per `gelu_exact`
+    # torch nn.GELU (module.py:30, timm blocks) is the exact erf form;
+    # SigLIP's is the tanh approximation. Default exact = SeTok-block parity.
+    gelu_exact: bool = True
     drop: float = 0.0
     quant8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    def _act(self, x):
+        if self.act is not None:
+            return self.act(x)
+        return nn.gelu(x, approximate=not self.gelu_exact)
+
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
         from setok_tpu.kernels.fused_sublayer import mlp_fits_vmem
-        if (self.quant8 and self.act is nn.gelu
+        if (self.quant8 and self.act is None
                 and mlp_fits_vmem(x.shape[-1], self.hidden_features)):
             from setok_tpu.kernels.fused_mlp import fused_mlp_int8
             k1, b1 = _DenseParams(self.hidden_features,
@@ -199,7 +207,7 @@ class Mlp(nn.Module):
                                   interpret=interpret)
         x = Dense(self.hidden_features, quant8=self.quant8, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="fc1")(x)
-        x = self.act(x)
+        x = self._act(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = Dense(out_features, quant8=self.quant8, dtype=self.dtype,
                   param_dtype=self.param_dtype, name="fc2")(x)
@@ -252,7 +260,9 @@ class Attention(nn.Module):
         q, k, v = jnp.moveaxis(qkv, -3, 0)          # each (*batch, n, H, hd)
 
         attn = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
-        attn = attn.astype(jnp.float32)
+        # softmax in ≥fp32 (bf16-safe); float64 inputs stay float64 so
+        # parity runs against the double-precision reference are exact
+        attn = attn.astype(jnp.promote_types(attn.dtype, jnp.float32))
         if mask is not None:
             if mask.ndim == attn.ndim - 1:          # (..., N, N) → add head dim
                 mask = mask[..., None, :, :]
@@ -298,7 +308,7 @@ class CrossAttention(nn.Module):
         k, v = jnp.moveaxis(kv, -3, 0)
 
         attn = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
-        attn = attn.astype(jnp.float32)
+        attn = attn.astype(jnp.promote_types(attn.dtype, jnp.float32))
         if context_mask is not None:
             attn = jnp.where(context_mask[..., None, None, :], attn, NEG_INF)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
@@ -323,6 +333,8 @@ class Block(nn.Module):
     qk_scale: Optional[float] = None
     proj_drop: float = 0.0
     attn_drop: float = 0.0
+    # torch nn.LayerNorm default (the reference's norm_layer, module.py:78)
+    norm_eps: float = 1e-5
     quant8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -351,14 +363,17 @@ class Block(nn.Module):
                 x = attn_sublayer_int8(x, g1, b1, *aw,
                                        num_heads=self.num_heads, mask=mask,
                                        sm_scale=self.qk_scale,
+                                       ln_eps=self.norm_eps,
                                        interpret=interpret)
             g2, b2 = _LNParams(c, self.param_dtype, name="norm2")()
             mw = _MlpParams(self.mlp_hidden_dim, c, self.param_dtype,
                             name="mlp")(c)
-            return mlp_sublayer_int8(x, g2, b2, *mw, interpret=interpret)
+            return mlp_sublayer_int8(x, g2, b2, *mw, ln_eps=self.norm_eps,
+                                     interpret=interpret)
 
         # One shared pre-attention norm (reference shares the instance).
-        norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+        norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
                              name="norm1")
         for i in range(self.depth):
             attn = Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
@@ -367,8 +382,8 @@ class Block(nn.Module):
                              dtype=self.dtype,
                              param_dtype=self.param_dtype, name=f"attn_{i}")
             x = x + attn(norm1(x), mask=mask, deterministic=deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm2")(x)
         x = x + Mlp(hidden_features=self.mlp_hidden_dim, drop=self.proj_drop,
                     quant8=self.quant8,
                     dtype=self.dtype, param_dtype=self.param_dtype,
@@ -388,6 +403,7 @@ class ViTBlock(nn.Module):
     qkv_bias: bool = True
     proj_drop: float = 0.0
     attn_drop: float = 0.0
+    norm_eps: float = 1e-5           # torch nn.LayerNorm default (timm)
     quant8: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -409,21 +425,23 @@ class ViTBlock(nn.Module):
             aw = _AttnParams(c, self.param_dtype, name="attn")()
             x = attn_sublayer_int8(x.astype(jnp.float32), g1, b1, *aw,
                                    num_heads=self.num_heads, mask=mask,
+                                   ln_eps=self.norm_eps,
                                    interpret=interpret)
             g2, b2 = _LNParams(c, self.param_dtype, name="norm2")()
             mw = _MlpParams(int(c * self.mlp_ratio), c, self.param_dtype,
                             name="mlp")(c)
-            return mlp_sublayer_int8(x, g2, b2, *mw, interpret=interpret)
+            return mlp_sublayer_int8(x, g2, b2, *mw, ln_eps=self.norm_eps,
+                                     interpret=interpret)
 
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm1")(x)
         x = x + Attention(num_heads=self.num_heads, qkv_bias=self.qkv_bias,
                           attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                           quant8=self.quant8,
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           name="attn")(y, mask=mask, deterministic=deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="norm2")(x)
         x = x + Mlp(hidden_features=int(c * self.mlp_ratio),
                     drop=self.proj_drop, quant8=self.quant8, dtype=self.dtype,
                     param_dtype=self.param_dtype,

@@ -5,8 +5,17 @@ Parity: /root/reference/src/model/setok/tokenizer.py:78-121
 
     dist      = cdist(x, x) / sqrt(C)                       (N, N)
     density_i = exp(-mean_k(nearest-k distances_i ** 2)) + U[0,1)*1e-6
-    parent_i  = min_j { dist[i, j] : density_j > density_i }
+    parent_i  = min_j ( density_j > density_i ? dist[i, j] : rowmax_j )
     score_i   = parent_i * density_i
+
+    where rowmax_j = max_k dist[j, k]. The fill value for non-higher-density
+    entries is the *per-column row max*, not a global max: the reference's
+    `dist_matrix.flatten(1).max(dim=-1)[0][None, None]` (tokenizer.py:98) is
+    a (1, 1, N) broadcast against the (N, N) matrix, so element (i, j) is
+    filled with row j's max. (The TCFormer lineage uses a per-batch global
+    max; the unbatched SeTok variant changed the semantics. We match the
+    reference as-is — tests/test_reference_parity.py pins it against the
+    actual torch function.)
     centers   = { i : score_i > threshold }   (fallback: top `min_cluster_num`
                  scores, index-sorted, when the set is empty)
     assign    = argmin over centers of dist[center, token]; centers self-assign
@@ -110,10 +119,12 @@ def cluster_dpc_knn(
     if token_mask is not None:
         density = density * token_mask
 
-    # distance to nearest higher-density point (tokenizer.py:96-99)
+    # distance to nearest higher-density point (tokenizer.py:96-99);
+    # non-higher entries fill with the per-column row max (see module
+    # docstring — exact reference semantics)
     higher = density[None, :] > density[:, None]              # (N, N)
-    dist_max = jnp.max(dist)
-    parent_dist = jnp.min(jnp.where(higher, dist, dist_max), axis=-1)
+    rowmax = jnp.max(dist, axis=-1)                           # (N,)
+    parent_dist = jnp.min(jnp.where(higher, dist, rowmax[None, :]), axis=-1)
 
     score = parent_dist * density                             # (N,)
 

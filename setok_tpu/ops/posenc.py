@@ -28,7 +28,10 @@ def posenc_2d(h: int, w: int, channels: int, dtype=jnp.float32) -> jnp.ndarray:
     Computed in numpy at trace time — it is a constant.
     """
     ch = int(np.ceil(channels / 4) * 2)
+    # the reference stores inv_freq as a float32 buffer (module.py:114-115);
+    # round through float32 so float64 parity runs match it bit-for-bit
     inv_freq = 1.0 / (10000 ** (np.arange(0, ch, 2, dtype=np.float64) / ch))
+    inv_freq = inv_freq.astype(np.float32).astype(np.float64)
     pos_x = np.arange(h, dtype=np.float64)
     pos_y = np.arange(w, dtype=np.float64)
     sin_x = np.einsum("i,j->ij", pos_x, inv_freq)   # (h, ch/2)

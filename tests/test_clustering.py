@@ -34,8 +34,10 @@ def oracle_dpc_knn(x, k, min_cluster_num, threshold, token_mask=None):
         density = density * (token_mask > 0)
 
     higher = density[None, :] > density[:, None]
-    dist_max = dist.max()
-    parent = np.where(higher, dist, dist_max).min(-1)
+    # fill = per-column row max: the reference's (1,1,N) broadcast at
+    # tokenizer.py:98 fills entry (i, j) with max_k dist[j, k]
+    rowmax = dist.max(-1)
+    parent = np.where(higher, dist, rowmax[None, :]).min(-1)
     score = parent * density
 
     index_down = np.nonzero(score > threshold)[0]
