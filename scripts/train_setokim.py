@@ -58,6 +58,9 @@ def parse_args():
     p.add_argument("--lora-enable", action="store_true")
     p.add_argument("--lora-r", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--optim-bits", type=int, default=32, choices=[32, 8],
+                   help="8 = int8 adam moments, embeddings fp32 "
+                        "(reference Adam8bit carve-out)")
     p.add_argument("--bits", type=int, default=16, choices=[16, 8],
                    help="8 = QLoRA: int8 frozen base + LoRA adapters "
                         "(reference --bits, train_setokim.py:228-244)")
@@ -68,8 +71,15 @@ def parse_args():
     p.add_argument("--pretrain-mm-in-mlp-adapter", default=None)
     p.add_argument("--pretrain-mm-out-mlp-adapter", default=None)
     p.add_argument("--tensor-parallel", type=int, default=1)
+    p.add_argument("--sequence-parallel", type=int, default=1,
+                   help="shard the sequence over a ring-attention mesh axis "
+                        "(parallel/ring_attention.py) — long-context "
+                        "training; mutually exclusive with --tensor-parallel")
     p.add_argument("--use-flash", action="store_true",
                    help="Pallas flash attention in the LLaMA trunk")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (virtual devices provisioned "
+                        "for --tensor/sequence-parallel smoke runs)")
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
@@ -100,6 +110,13 @@ def synthetic_batches(args, cfg, rs):
 
 def main():
     args = parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        n = max(args.tensor_parallel, args.sequence_parallel, 2)
+        if n > 1:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n}").strip()
     from setok_tpu import config as cfgs
     from setok_tpu.parallel.mesh import make_mesh, data_sharding
     from setok_tpu.parallel.sharding import setokim_shardings
@@ -129,6 +146,19 @@ def main():
                                  warmup_steps=args.warmup_steps,
                                  total_steps=args.steps,
                                  batch_size=args.batch_size, seed=args.seed)
+
+    devs = jax.devices()
+    sp = min(args.sequence_parallel, len(devs))
+    if sp > 1:
+        if args.tensor_parallel > 1:
+            raise SystemExit("--sequence-parallel and --tensor-parallel are "
+                             "mutually exclusive (one trunk mesh)")
+        from setok_tpu.parallel.mesh import make_sp_mesh
+        mesh = make_sp_mesh(data=len(devs) // sp, seq=sp)
+    else:
+        tp = min(args.tensor_parallel, len(devs))
+        mesh = make_mesh(cfgs.MeshConfig(data=len(devs) // tp, model=tp))
+
     trainer = Stage2Trainer(
         cfg, train_cfg=train_cfg, target_token_id=int(target_token_id),
         freeze_backbone=args.freeze_backbone,
@@ -141,7 +171,8 @@ def main():
         mm_out_projector_lr=args.mm_out_projector_lr,
         lora_enable=args.lora_enable, lora_r=args.lora_r,
         lora_alpha=args.lora_alpha, quant_base=(args.bits == 8),
-        use_flash=args.use_flash)
+        use_flash=args.use_flash, optim_bits=args.optim_bits,
+        ring_mesh=(mesh if sp > 1 else None))
 
     rs = np.random.RandomState(args.seed)
     if args.synthetic:
@@ -188,9 +219,6 @@ def main():
                        if isinstance(v, np.ndarray)}
         host_batches = batches()
 
-    devs = jax.devices()
-    tp = min(args.tensor_parallel, len(devs))
-    mesh = make_mesh(cfgs.MeshConfig(data=len(devs) // tp, model=tp))
     bs = data_sharding(mesh)
     # background prefetch + device transfer (data/loader.py DeviceLoader)
     from setok_tpu.data.loader import DeviceLoader

@@ -20,7 +20,7 @@ Weights port from HF llama checkpoints via scripts/port_weights.py.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -86,11 +86,17 @@ class LlamaAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False     # Pallas fused kernel (kernels/flash_attention)
     weights_int8: bool = False  # int8-at-rest linears (ops/blocks.QuantDense)
+    # Sequence parallelism: a (data, seq) Mesh routes prefill/training
+    # attention through the K/V ring (parallel/ring_attention.py) with the
+    # sequence sharded over SEQ_AXIS. mask may then be None (no global
+    # (L, L) mask is ever materialized); pass `valid` instead.
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, mask, positions,
                  cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                 cache_length: Optional[jnp.ndarray] = None):
+                 cache_length: Optional[jnp.ndarray] = None,
+                 valid: Optional[jnp.ndarray] = None):
         """x: (B, L, D); mask: (B, 1, L, S) additive-ready bool (True=attend);
         positions: (B, L). With a cache, keys/values cover S = max_len slots
         and new entries are written at [cache_length, cache_length+L)."""
@@ -142,7 +148,33 @@ class LlamaAttention(nn.Module):
             k = jnp.repeat(k, groups, axis=2)
             v = jnp.repeat(v, groups, axis=2)
 
-        if self.use_flash and cache_kv is None:
+        if self.ring_mesh is not None and cache_kv is None:
+            from functools import partial as _partial
+            from jax.sharding import PartitionSpec as P
+            from setok_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+            from setok_tpu.parallel.ring_attention import ring_attention
+            if valid is None:
+                valid = jnp.ones((b, l), bool)
+            dspec = DATA_AXIS if b % self.ring_mesh.shape[DATA_AXIS] == 0 \
+                else None
+            qkv_spec = P(dspec, None, SEQ_AXIS, None)
+            row_spec = P(dspec, SEQ_AXIS)
+            scale = 1.0 / float(np.sqrt(cfg.head_dim))
+
+            def _ring(qh, kh, vh, pos, val):
+                return ring_attention(qh, kh, vh, SEQ_AXIS, causal=True,
+                                      sm_scale=scale, positions=pos,
+                                      valid=val)
+
+            out = jax.shard_map(
+                _ring, mesh=self.ring_mesh,
+                in_specs=(qkv_spec, qkv_spec, qkv_spec, row_spec, row_spec),
+                out_specs=qkv_spec,
+                check_vma=False,
+            )(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+              jnp.swapaxes(v, 1, 2), positions, valid)
+            out = jnp.swapaxes(out, 1, 2).astype(self.dtype)
+        elif self.use_flash and cache_kv is None:
             from setok_tpu.kernels.flash_attention import flash_attention
             interpret = jax.devices()[0].platform != "tpu"
             out = flash_attention(
@@ -189,17 +221,21 @@ class LlamaBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     weights_int8: bool = False
+    ring_mesh: Any = None
 
     @nn.compact
-    def __call__(self, x, mask, positions, cache_kv=None, cache_length=None):
+    def __call__(self, x, mask, positions, cache_kv=None, cache_length=None,
+                 valid=None):
         cfg = self.cfg
         h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
                     name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype,
                                       use_flash=self.use_flash,
                                       weights_int8=self.weights_int8,
+                                      ring_mesh=self.ring_mesh,
                                       name="attn")(h, mask, positions,
-                                                   cache_kv, cache_length)
+                                                   cache_kv, cache_length,
+                                                   valid)
         x = x + h
         h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
                     name="post_attn_norm")(x)
@@ -243,11 +279,13 @@ class LlamaModel(nn.Module):
     remat: bool = False
     use_flash: bool = False
     weights_int8: bool = False
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, mask: jnp.ndarray,
                  positions: jnp.ndarray,
-                 cache: Optional[KVCache] = None
+                 cache: Optional[KVCache] = None,
+                 valid: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         cfg = self.cfg
         x = inputs_embeds.astype(self.dtype)
@@ -261,8 +299,10 @@ class LlamaModel(nn.Module):
             cache_len = cache.length if cache is not None else None
             x, updated = block_cls(cfg, self.dtype, self.param_dtype,
                                    self.use_flash, self.weights_int8,
+                                   self.ring_mesh,
                                    name=f"layer_{i}")(x, mask, positions,
-                                                      cache_kv, cache_len)
+                                                      cache_kv, cache_len,
+                                                      valid)
             if updated is not None:
                 new_k.append(updated[0])
                 new_v.append(updated[1])
@@ -286,6 +326,7 @@ class LlamaForCausalLM(nn.Module):
     remat: bool = False
     use_flash: bool = False
     weights_int8: bool = False
+    ring_mesh: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -294,7 +335,8 @@ class LlamaForCausalLM(nn.Module):
                                      param_dtype=self.param_dtype)
         self.model = LlamaModel(cfg, self.dtype, self.param_dtype,
                                 remat=self.remat, use_flash=self.use_flash,
-                                weights_int8=self.weights_int8)
+                                weights_int8=self.weights_int8,
+                                ring_mesh=self.ring_mesh)
         if not cfg.tie_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
                                     dtype=self.dtype,
@@ -317,9 +359,14 @@ class LlamaForCausalLM(nn.Module):
         if valid is None:
             valid = jnp.ones(input_ids.shape, bool)
         positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
-        mask = make_attention_mask(valid, positions)
         x = self.embed(input_ids)
-        hidden, new_cache = self.model(x, mask, positions, cache)
+        if self.ring_mesh is not None and cache is None:
+            # ring attention never materializes the (L, L) mask
+            hidden, new_cache = self.model(x, None, positions, cache,
+                                           valid=valid)
+        else:
+            mask = make_attention_mask(valid, positions)
+            hidden, new_cache = self.model(x, mask, positions, cache)
         return self.logits(hidden), hidden, new_cache
 
 

@@ -26,6 +26,7 @@ from setok_tpu.config import MeshConfig
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,
@@ -39,6 +40,20 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
         f"mesh wants {n} devices, have {len(devices)}")
     arr = np.array(devices[:n]).reshape(cfg.data, cfg.model)
     return Mesh(arr, cfg.axis_names)
+
+
+def make_sp_mesh(data: int, seq: int,
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """(data, seq) mesh for sequence-parallel (ring-attention) training.
+
+    Long-context extension (SURVEY §5): the sequence axis carries the
+    K/V ring (parallel/ring_attention.py); batch stays on `data`.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = data * seq
+    assert n <= len(devices), f"mesh wants {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(data, seq)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -63,6 +63,15 @@ class Stage2Trainer:
     # train_setokim.py:228-244)
     quant_base: bool = False
     use_flash: bool = False   # Pallas flash attention in the LLaMA trunk
+    # 8 = int8 block-quantized adam moments for every trainable param
+    # EXCEPT embedding tables, which stay fp32 — exactly the reference's
+    # Adam8bit + GlobalOptimManager embedding carve-out
+    # (setok_trainer.py:164-181). train/opt8.py.
+    optim_bits: int = 32
+    # sequence parallelism: a (data, seq) Mesh (parallel/mesh.make_sp_mesh)
+    # routes trunk attention through the K/V ring — long-context training
+    # where one device cannot hold the (L, L) score matrix
+    ring_mesh: Any = None
 
     def __post_init__(self):
         if self.quant_base and not self.lora_enable:
@@ -76,7 +85,8 @@ class Stage2Trainer:
                              pad_token_id=self.pad_token_id,
                              dtype=dtype, param_dtype=param_dtype,
                              remat=self.train_cfg.remat,
-                             use_flash=self.use_flash)
+                             use_flash=self.use_flash,
+                             ring_mesh=self.ring_mesh)
         tc = self.train_cfg
         warmup = min(tc.warmup_steps, max(tc.total_steps - 1, 0))
         sched = optax.warmup_cosine_decay_schedule(
@@ -86,11 +96,17 @@ class Stage2Trainer:
             return optax.adamw(lr, b1=tc.beta1, b2=tc.beta2,
                                weight_decay=tc.weight_decay)
 
+        if self.optim_bits == 8:
+            from setok_tpu.train.opt8 import adam8bit
+            opt = lambda lr: adam8bit(lr, b1=tc.beta1, b2=tc.beta2)
+        else:
+            opt = adamw
         self._tx = optax.multi_transform(
-            {"main": adamw(sched),
-             "proj_in": adamw(self.mm_in_projector_lr or tc.learning_rate),
-             "proj_out": adamw(self.mm_out_projector_lr or tc.learning_rate),
-             "lora": adamw(sched),
+            {"main": opt(sched),
+             "embed32": adamw(sched),      # embeddings always fp32 moments
+             "proj_in": opt(self.mm_in_projector_lr or tc.learning_rate),
+             "proj_out": opt(self.mm_out_projector_lr or tc.learning_rate),
+             "lora": opt(sched),
              "frozen": optax.set_to_zero()},
             self._labels)
 
@@ -115,6 +131,8 @@ class Stage2Trainer:
                          or self.tune_mm_out_mlp_adapter)
         if self.freeze_backbone or adapters_only or self.lora_enable:
             return "frozen"
+        if self.optim_bits == 8 and "embed_tokens" in name:
+            return "embed32"              # reference fp32 carve-out
         return "main"
 
     def _labels(self, tree):
