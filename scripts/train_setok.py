@@ -48,6 +48,9 @@ def parse_args():
                         "only to exercise the full loss graph)")
     p.add_argument("--lpips-weights", default=None,
                    help=".npz from scripts/port_weights.py vgg16")
+    p.add_argument("--optim-bits", type=int, default=32, choices=[32, 8],
+                   help="8 = int8 block-quantized adam moments "
+                        "(train/opt8.py; reference Adam8bit)")
     p.add_argument("--offload-optimizer", action="store_true",
                    help="park adam moments in pinned host memory "
                         "(zero3_offload equivalent; TPU only)")
@@ -58,11 +61,15 @@ def parse_args():
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke runs)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from setok_tpu import config as cfgs
     from setok_tpu.parallel.mesh import make_mesh, data_sharding
     from setok_tpu.parallel.sharding import fsdp_shardings
@@ -97,6 +104,7 @@ def main():
             text_embed_dim=tok_cfg.token_feat_dim),
         train_cfg=train_cfg, use_lpips=args.lpips,
         offload_optimizer=args.offload_optimizer,
+        optim_bits=args.optim_bits,
         use_text_encoder=args.data_path is not None)
 
     # ------------------------------------------------------------------
