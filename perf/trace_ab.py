@@ -1,0 +1,87 @@
+"""Device-time A/B harness for kernel variants on the hosted TPU.
+
+Wall clocks through the tunnel jitter ±25%; the only trustworthy number is
+device time from a jax.profiler trace (TPU lane = pid 3 in the Chrome
+trace). Usage:
+
+    from perf.trace_ab import device_time_ab
+    ms = device_time_ab({"a": fn_a, "b": fn_b}, args, iters=24)
+    # → {"a": ms_per_call, "b": ms_per_call}
+
+Each fn must be jit-compiled with a DISTINCT __name__ (the trace events are
+matched by jit name substring). Calls are chained `iters` times inside one
+jitted scan so per-dispatch tunnel latency cancels.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import shutil
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def chain(fn: Callable, iters: int, name: str):
+    """Build a jitted fn running `fn` iters times sequentially (carry the
+    output back in, so XLA cannot parallelize or elide calls)."""
+
+    def chained(x, *rest):
+        def body(c, _):
+            y = fn(c, *rest)
+            # keep the carry shape: feed the output back as the input
+            return y.reshape(c.shape).astype(c.dtype), ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    chained.__name__ = f"chain_{name}"
+    return jax.jit(chained)
+
+
+def _trace_device_ms(trace_dir: str, names, pid_hint: int = 3):
+    """Sum device-lane event durations per jit-name substring → ms."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    assert paths, f"no trace file under {trace_dir}"
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # find TPU device pids: process_name metadata containing 'TPU' / device
+    device_pids = set()
+    for e in events:
+        if (e.get("ph") == "M" and e.get("name") == "process_name"
+                and "args" in e):
+            pname = str(e["args"].get("name", ""))
+            if "TPU" in pname or "/device:" in pname:
+                device_pids.add(e["pid"])
+    if not device_pids:
+        device_pids = {pid_hint}
+    totals = {n: 0.0 for n in names}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        nm = e.get("name", "")
+        for n in names:
+            if f"chain_{n}" in nm:
+                totals[n] += e.get("dur", 0.0)
+    return {n: totals[n] / 1000.0 for n in names}
+
+
+def device_time_ab(fns: Dict[str, Callable], args, iters: int = 24,
+                   trace_dir: str = "/tmp/trace_ab") -> Dict[str, float]:
+    """Run each chained variant under one profiler trace; return device
+    ms/call per variant. fns map name → fn(x, *rest)."""
+    chains = {n: chain(fn, iters, n) for n, fn in fns.items()}
+    # compile + warm
+    for n, c in chains.items():
+        jax.block_until_ready(c(*args))
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for n, c in chains.items():
+            jax.block_until_ready(c(*args))
+    per_chain = _trace_device_ms(trace_dir, list(chains))
+    return {n: v / iters for n, v in per_chain.items()}

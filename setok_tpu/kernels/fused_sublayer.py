@@ -73,7 +73,7 @@ def _quant_rows(x):
 
 
 def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
-               num_heads, head_dim, mf):
+               num_heads, head_dim, mf, softmax_bf16=False):
     """y: (N, C) normalized input → attention output (N, C) f32.
     mf: (N, N) f32 0/1 mask or None. The qkv weight may be head-PADDED
     (head_dim rounded up to a lane-friendly multiple with zero columns,
@@ -114,6 +114,22 @@ def _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
             ss.append(s_h + mbias if mf is not None else s_h)
         ps = []
         for s_h in ss:
+            if softmax_bf16:
+                # softmax VPU tail in bf16: bf16 shares f32's exponent
+                # range (no overflow risk vs f32) and the (16, 128) native
+                # tile packs two elements per lane word, so the max/sub/
+                # exp/sum (N, N) passes run at up to 2× VPU throughput.
+                # Probability error ~0.4% — inside the int8 path's noise.
+                s16 = s_h.astype(jnp.bfloat16)
+                m_h = jnp.max(s16, axis=-1, keepdims=True)
+                p_h16 = jnp.exp(s16 - m_h)
+                l = jnp.sum(p_h16, axis=-1, keepdims=True)
+                l_r = 1.0 / jnp.maximum(l.astype(jnp.float32), 1e-30)
+                if mf is not None:
+                    l_r = jnp.where(m_h.astype(jnp.float32) > 0.5 * NEG_INF,
+                                    l_r, 0.0)
+                ps.append((p_h16, l_r))
+                continue
             m_h = jnp.max(s_h, axis=-1, keepdims=True)
             p_h = jnp.exp(s_h - m_h)
             l_r = 1.0 / jnp.maximum(jnp.sum(p_h, axis=-1, keepdims=True),
@@ -158,22 +174,22 @@ def _pad_head_weights(w_qkv, b_qkv, w_proj, num_heads, d, dp):
 
 def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                           wp_ref, sp_ref, bp_ref, o_ref, *, num_heads,
-                          head_dim, ln_eps):
+                          head_dim, ln_eps, softmax_bf16):
     x = x_ref[0].astype(jnp.float32)
     y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
     a = _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
-                   num_heads, head_dim, None)
+                   num_heads, head_dim, None, softmax_bf16)
     o_ref[0] = (x + a).astype(o_ref.dtype)
 
 
 def _attn_sublayer_kernel_masked(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref,
                                  bqkv_ref, wp_ref, sp_ref, bp_ref, mask_ref,
                                  o_ref, *, num_heads, head_dim,
-                                 ln_eps):
+                                 ln_eps, softmax_bf16):
     x = x_ref[0].astype(jnp.float32)
     y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
     a = _attn_core(y, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref, bp_ref,
-                   num_heads, head_dim, mask_ref[0])
+                   num_heads, head_dim, mask_ref[0], softmax_bf16)
     o_ref[0] = (x + a).astype(o_ref.dtype)
 
 
@@ -183,6 +199,7 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
                        num_heads: int, mask: Optional[jnp.ndarray] = None,
                        sm_scale: Optional[float] = None,
                        ln_eps: float = 1e-6,
+                       softmax_bf16: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """x: (B, N, C) → x + Attn(LN(x)). mask: (B, N, N) bool or None."""
     b, n, c = x.shape
@@ -223,7 +240,8 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
     if mask is None:
         return pl.pallas_call(
             functools.partial(_attn_sublayer_kernel, num_heads=num_heads,
-                              head_dim=dp, ln_eps=ln_eps),
+                              head_dim=dp, ln_eps=ln_eps,
+                              softmax_bf16=softmax_bf16),
             grid=(b,),
             in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
             + weight_specs,
@@ -234,7 +252,8 @@ def attn_sublayer_int8(x: jnp.ndarray, ln_g: jnp.ndarray, ln_b: jnp.ndarray,
 
     return pl.pallas_call(
         functools.partial(_attn_sublayer_kernel_masked, num_heads=num_heads,
-                          head_dim=dp, ln_eps=ln_eps),
+                          head_dim=dp, ln_eps=ln_eps,
+                          softmax_bf16=softmax_bf16),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0))]
         + weight_specs
