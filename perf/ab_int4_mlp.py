@@ -41,10 +41,12 @@ def quantize_weight_int4(w):
 
 
 def pack_nibbles(q):
-    """(C, N) int4-range int8 → (C/2, N) bytes: row 2i in the low nibble,
-    row 2i+1 in the high nibble."""
-    lo = q[0::2].astype(jnp.int32) & 0xF
-    hi = (q[1::2].astype(jnp.int32) & 0xF) << 4
+    """(C, N) int4-range int8 → (C/2, N) bytes: row i in the low nibble,
+    row i + C/2 in the high nibble (half-packing → the kernel unpacks to
+    contiguous row blocks; Mosaic cannot lower strided slices)."""
+    c = q.shape[0]
+    lo = q[: c // 2].astype(jnp.int32) & 0xF
+    hi = (q[c // 2:].astype(jnp.int32) & 0xF) << 4
     return (lo | hi).astype(jnp.int8)
 
 
@@ -63,20 +65,23 @@ def _mlp_w4_kernel(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref,
     y = _layernorm(x, g_ref[...], b_ref[...], ln_eps)
     y8, ys = _quant_rows(y)
 
+    c_half = w1_ref.shape[0]
     lo1, hi1 = _unpack_nibbles(w1_ref[...])
-    # interleave rows back: y8 columns 0::2 dot lo, 1::2 dot hi
-    h = (jax.lax.dot_general(y8[:, 0::2], lo1, (((1,), (0,)), ((), ())),
+    # half-packed: first C/2 activation columns dot the low nibbles,
+    # the rest dot the high nibbles — contiguous slices only
+    h = (jax.lax.dot_general(y8[:, :c_half], lo1, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
-         + jax.lax.dot_general(y8[:, 1::2], hi1, (((1,), (0,)), ((), ())),
+         + jax.lax.dot_general(y8[:, c_half:], hi1, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32))
     h = h.astype(jnp.float32) * ys * s1_ref[...] + b1_ref[...]
     h = jax.nn.gelu(h)
 
     h8, hs = _quant_rows(h)
+    h_half = w2_ref.shape[0]
     lo2, hi2 = _unpack_nibbles(w2_ref[...])
-    z = (jax.lax.dot_general(h8[:, 0::2], lo2, (((1,), (0,)), ((), ())),
+    z = (jax.lax.dot_general(h8[:, :h_half], lo2, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
-         + jax.lax.dot_general(h8[:, 1::2], hi2, (((1,), (0,)), ((), ())),
+         + jax.lax.dot_general(h8[:, h_half:], hi2, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32))
     z = z.astype(jnp.float32) * hs * s2_ref[...] + b2_ref[...]
     o_ref[...] = (x + z).astype(o_ref.dtype)

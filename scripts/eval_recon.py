@@ -25,12 +25,24 @@ def main():
     p.add_argument("--image-folder", default=None)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--checkpoint", default="")
+    p.add_argument("--stage1-dir", default="",
+                   help="stage-1 output dir — loads the trained SeTok "
+                        "subtree from its orbax checkpoints")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--fid", action="store_true",
                    help="also compute FID with frozen-ViT features")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--synthetic-structured", action="store_true",
+                   help="synthetic = colored shapes (utils/synthetic.py)")
+    p.add_argument("--eval-seed", type=int, default=10_000,
+                   help="seed offset for the synthetic eval set (held out "
+                        "from training's seeds)")
+    p.add_argument("--precision", default="fp32",
+                   choices=["fp32", "bf16", "quant8"],
+                   help="inference precision variant (quant8 = the fused "
+                        "int8 kernel path the bench headline uses)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -43,13 +55,23 @@ def main():
     tok_cfg = cfgs.tiny_tokenizer() if args.tiny else cfgs.base_tokenizer()
     det_cfg = (cfgs.tiny_detokenizer() if args.tiny
                else cfgs.base_detokenizer())
-    model = SeTok(tok_cfg, det_cfg)
+    kw = {}
+    if args.precision == "bf16":
+        kw = dict(dtype=jnp.bfloat16)
+    elif args.precision == "quant8":
+        kw = dict(quant8=True)
+    model = SeTok(tok_cfg, det_cfg, **kw)
     size = tok_cfg.vit.image_size
 
     if args.synthetic:
-        rs = np.random.RandomState(0)
-        images = (rs.rand(args.synthetic, size, size, 3) * 2 - 1
-                  ).astype(np.float32)
+        if args.synthetic_structured:
+            from setok_tpu.utils.synthetic import structured_images
+            images = structured_images(args.synthetic, size,
+                                       seed=args.eval_seed)
+        else:
+            rs = np.random.RandomState(0)
+            images = (rs.rand(args.synthetic, size, size, 3) * 2 - 1
+                      ).astype(np.float32)
     else:
         from PIL import Image
         proc = GeneratorImageProcessor(size=size)
@@ -64,6 +86,18 @@ def main():
     if args.checkpoint:
         from setok_tpu.utils.checkpoint import load_subtree
         params = load_subtree(args.checkpoint, params)
+    if args.stage1_dir:
+        # load the trained SeTok subtree straight from a stage-1 run's
+        # orbax checkpoints (scripts/train_setok.py output)
+        from setok_tpu.utils import checkpoint as ckpt
+        cdir = (args.stage1_dir
+                if ckpt.latest_step(args.stage1_dir) is not None
+                else os.path.join(args.stage1_dir, "checkpoints"))
+        step = ckpt.latest_step(cdir)
+        if step is None:
+            raise SystemExit(f"no checkpoint under {args.stage1_dir}")
+        state = ckpt.restore_checkpoint(cdir, step)
+        params = jax.tree.map(jnp.asarray, state["gen_params"]["setok"])
 
     fwd = jax.jit(lambda p, x: model.apply(p, x))
     recons, psnrs, ssims, ncs = [], [], [], []
@@ -76,6 +110,7 @@ def main():
         ncs.append(float(jnp.mean(out.num_clusters.astype(jnp.float32))))
 
     result = {"n": int(len(images)),
+              "precision": args.precision,
               "psnr": float(np.mean(psnrs)),
               "ssim": float(np.mean(ssims)),
               "mean_clusters": float(np.mean(ncs))}

@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--image-folder", default="")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples instead of a dataset")
+    p.add_argument("--synthetic-structured", action="store_true",
+                   help="synthetic = colored shapes/gradients (learnable; "
+                        "utils/synthetic.py) instead of uniform noise")
     p.add_argument("--tokenizer", default=None,
                    help="local HF tokenizer path (word-hash fallback)")
     p.add_argument("--output-dir", default="/tmp/setok_stage1")
@@ -111,13 +114,22 @@ def main():
     if args.synthetic:
         rs = np.random.RandomState(args.seed)
         n = args.synthetic
+        pool = None
+        if args.synthetic_structured:
+            from setok_tpu.utils.synthetic import structured_images
+            pool = structured_images(n, args.image_size, seed=args.seed)
 
         def batches():
             while True:
                 idx = rs.randint(0, n)
                 r = np.random.RandomState(idx)
-                img = (r.rand(args.batch_size, args.image_size,
-                              args.image_size, 3) * 2 - 1).astype(np.float32)
+                if pool is not None:
+                    pick = rs.randint(0, n, size=args.batch_size)
+                    img = pool[pick]
+                else:
+                    img = (r.rand(args.batch_size, args.image_size,
+                                  args.image_size, 3) * 2
+                           - 1).astype(np.float32)
                 yield {"comp_image": img,
                        "gen_image": img,
                        "text_emb": r.randn(args.batch_size,

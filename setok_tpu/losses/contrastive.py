@@ -95,23 +95,21 @@ class ContrastiveLoss(nn.Module):
         logits_per_img = image_x @ _gather(text_x, axis_name).T  # (bl1, Wbl2)
         logits_per_text = text_x @ _gather(image_x, axis_name).T
 
-        # soft labels: uniform 1/L mass on own-sample pairs in own rank slot
-        # (multilabel_constrastive.py:113-131)
-        eye = jnp.eye(b)
-        rank_onehot = jax.nn.one_hot(rank, world)                # (W,)
-        lbl_img = (eye[:, None, :, None, None]
-                   * rank_onehot[None, None, None, None, :]
-                   / l1 * jnp.ones((b, l1, b, l2, world)))
-        lbl_img = jnp.transpose(lbl_img, (0, 1, 4, 2, 3)).reshape(
-            b * l1, world * b * l2)
-        lbl_text = (eye[:, None, :, None, None]
-                    * rank_onehot[None, None, None, None, :]
-                    / l2 * jnp.ones((b, l2, b, l1, world)))
-        lbl_text = jnp.transpose(lbl_text, (0, 1, 4, 2, 3)).reshape(
-            b * l2, world * b * l1)
+        # Soft targets put uniform 1/L mass ONLY on own-sample pairs in the
+        # own-rank slot (multilabel_constrastive.py:113-131) — so instead
+        # of materializing the dense (b, L, b, L, world) label tensor (the
+        # r2 memory hazard at GroupViT scale), slice the log-probs down to
+        # the own-rank, own-sample block and sum there. Identical math.
+        def _masked_ce(logits, l_row, l_col):
+            logp = jax.nn.log_softmax(logits * scale, axis=-1)
+            lp = logp.reshape(b, l_row, world, b, l_col)
+            lp_rank = jax.lax.dynamic_index_in_dim(lp, rank, axis=2,
+                                                   keepdims=False)
+            own = lp_rank[jnp.arange(b), :, jnp.arange(b), :]  # (b,lr,lc)
+            return jnp.mean(-jnp.sum(own, axis=-1) / l_row)
 
-        loss_img = _soft_cross_entropy(logits_per_img * scale, lbl_img)
-        loss_text = _soft_cross_entropy(logits_per_text * scale, lbl_text)
+        loss_img = _masked_ce(logits_per_img, l1, l2)
+        loss_text = _masked_ce(logits_per_text, l2, l1)
         return 0.5 * (loss_img + loss_text)
 
     def __call__(self, image_x, text_x, axis_name: Optional[str] = None):

@@ -34,8 +34,9 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+from concurrent.futures import Future, ThreadPoolExecutor
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -139,6 +140,12 @@ class ServeEngine:
         self._step = jax.jit(partial(self._step_impl, self.model,
                                      self.temperature, self.pad_id),
                              donate_argnums=(1, 2, 3))
+        # admission prefills dispatch on a worker thread so the decode loop
+        # never blocks on a prefill: the jitted call is pure (no engine
+        # state), results splice in at harvest time. One worker keeps TPU
+        # submission order deterministic.
+        self._prefill_pool = ThreadPoolExecutor(max_workers=1)
+        self._pending: List[Tuple[List[Request], List[int], Future]] = []
 
     # ------------------------------------------------------------------
     # jitted pieces (static through partial; compiled once per engine)
@@ -215,28 +222,76 @@ class ServeEngine:
         self._queue.put(req)
         return req
 
-    def _admit(self, req: Request, slot: int) -> None:
-        ids = np.full((1, self.prompt_len), self.pad_id, np.int32)
-        p = req.prompt_ids[-self.prompt_len:]
-        ids[0, :len(p)] = p
-        self._rng, rk = jax.random.split(self._rng)
-        if req.image is not None:
-            images = jnp.asarray(req.image, jnp.float32)[None]
-            row_cache, row_valid, row_pos, first = self._prefill(
-                self.params, jnp.asarray(ids), images, rk)
-        else:
-            row_cache, row_valid, row_pos, first = self._prefill_text(
-                self.params, jnp.asarray(ids), rk)
-        (self._cache, self._cache_valid, self._pos,
-         self._cur_tok) = self._insert(
-            self._cache, self._cache_valid, self._pos, self._cur_tok,
-            jnp.asarray(slot, jnp.int32), row_cache, row_valid, row_pos,
-            first)
-        self._slots[slot] = req
-        self._active[slot] = True
-        req.tokens.append(int(first[0]))
-        if int(first[0]) == self.eos_id:
-            self._retire(slot)
+    def _dispatch_prefills(self) -> None:
+        """Move queued requests into in-flight prefills (worker thread).
+
+        Slots are reserved at dispatch; multiple requests of the same kind
+        (image / text-only) queued together prefill as ONE batched call —
+        one graph per admit size, cached by jit, at most max_batch sizes.
+        """
+        free = [s for s in range(self.max_batch)
+                if not self._active[s] and self._slots[s] is None]
+        while free and not self._queue.empty():
+            batch_reqs: List[Request] = []
+            try:
+                batch_reqs.append(self._queue.get_nowait())
+            except queue.Empty:            # racing submitter threads
+                break
+            has_image = batch_reqs[0].image is not None
+            while (len(batch_reqs) < len(free)
+                   and not self._queue.empty()):
+                nxt = self._queue.queue[0]   # peek: same kind only
+                if (nxt.image is not None) != has_image:
+                    break
+                try:
+                    batch_reqs.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            slots = [free.pop(0) for _ in batch_reqs]
+            for s, r in zip(slots, batch_reqs):
+                self._slots[s] = r           # reserved (not active yet)
+            n = len(batch_reqs)
+            ids = np.full((n, self.prompt_len), self.pad_id, np.int32)
+            for i, r in enumerate(batch_reqs):
+                p = r.prompt_ids[-self.prompt_len:]
+                ids[i, :len(p)] = p
+            self._rng, rk = jax.random.split(self._rng)
+            if has_image:
+                images = jnp.asarray(
+                    np.stack([r.image for r in batch_reqs]), jnp.float32)
+                fut = self._prefill_pool.submit(
+                    self._prefill, self.params, jnp.asarray(ids), images, rk)
+            else:
+                fut = self._prefill_pool.submit(
+                    self._prefill_text, self.params, jnp.asarray(ids), rk)
+            self._pending.append((batch_reqs, slots, fut))
+
+    def _harvest_prefills(self, block: bool = False) -> None:
+        """Splice completed prefills into the batch cache."""
+        still = []
+        for batch_reqs, slots, fut in self._pending:
+            if not (block or fut.done()):
+                still.append((batch_reqs, slots, fut))
+                continue
+            row_cache, row_valid, row_pos, first = fut.result()
+            firsts = np.asarray(first)
+            for i, (req, slot) in enumerate(zip(batch_reqs, slots)):
+                # length is the scalar write offset (= prompt_len), shared
+                # by every prefilled row
+                rc = KVCache(k=row_cache.k[:, i:i + 1],
+                             v=row_cache.v[:, i:i + 1],
+                             length=row_cache.length)
+                (self._cache, self._cache_valid, self._pos,
+                 self._cur_tok) = self._insert(
+                    self._cache, self._cache_valid, self._pos,
+                    self._cur_tok, jnp.asarray(slot, jnp.int32), rc,
+                    row_valid[i:i + 1], row_pos[i:i + 1], first[i:i + 1])
+                self._active[slot] = True
+                req.tokens.append(int(firsts[i]))
+                if int(firsts[i]) == self.eos_id:
+                    self._retire(slot)
+            block = False                  # one blocking harvest is enough
+        self._pending = still
 
     def _retire(self, slot: int) -> None:
         req = self._slots[slot]
@@ -266,15 +321,16 @@ class ServeEngine:
         req.done = True
 
     def step(self) -> int:
-        """Admit what fits, run one decode step; returns active count."""
-        for slot in range(self.max_batch):
-            if not self._active[slot] and not self._queue.empty():
-                try:
-                    self._admit(self._queue.get_nowait(), slot)
-                except queue.Empty:       # racing submitter threads
-                    break
+        """Dispatch/harvest admissions, run one decode step; returns the
+        active count. Prefills run on the worker thread — decode only ever
+        waits for one when it has nothing else to do."""
+        self._dispatch_prefills()
+        self._harvest_prefills()
         if not self._active.any():
-            return 0
+            if self._pending:
+                self._harvest_prefills(block=True)
+            if not self._active.any():
+                return 0
         self._rng, k = jax.random.split(self._rng)
         (self._cache, self._cache_valid, self._pos, self._cur_tok,
          hidden) = self._step(self.params, self._cache, self._cache_valid,
@@ -300,5 +356,6 @@ class ServeEngine:
     def run(self, max_steps: int = 100000) -> None:
         """Drain the queue: decode until every submitted request is done."""
         for _ in range(max_steps):
-            if self.step() == 0 and self._queue.empty():
+            if (self.step() == 0 and self._queue.empty()
+                    and not self._pending):
                 return

