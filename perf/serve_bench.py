@@ -63,17 +63,20 @@ def main():
                          cwd="/root/repo").stdout.strip()
     hist = open("/root/repo/perf/history.jsonl", "a")
 
-    def record(name, tps, slots):
+    def record(name, tps, slots, block=1):
         line = {"metric": name, "value": round(tps, 1),
-                "unit": "tokens/sec", "slots": slots, "git": git,
-                "time": time.time()}
+                "unit": "tokens/sec", "slots": slots,
+                "decode_block": block, "git": git, "time": time.time()}
         print(json.dumps(line))
         hist.write(json.dumps(line) + "\n")
 
-    for slots in (1, 4, 8):
+    # slots amortize dispatch latency across requests; decode_block
+    # amortizes it across time (K decode steps per host round trip)
+    for slots, block in ((1, 1), (4, 1), (8, 1),
+                         (1, 8), (4, 4), (4, 8), (4, 16), (8, 8)):
         eng = ServeEngine(model, params, max_batch=slots, prompt_len=L,
                           max_len=L + args.max_new + 4, eos_id=-1,
-                          pad_id=0)
+                          pad_id=0, decode_block=block)
         reqs = [eng.submit(*prompt(s), max_new_tokens=args.max_new)
                 for s in range(slots)]
         # warm: admit + a few steps (compiles prefill/insert/step)
@@ -85,7 +88,7 @@ def main():
             eng.step()
         dt = time.time() - t0
         n1 = sum(len(r.tokens) for r in reqs)
-        record("serve_decode_tokens_per_sec", (n1 - n0) / dt, slots)
+        record("serve_decode_tokens_per_sec", (n1 - n0) / dt, slots, block)
 
     # admission overlap: 8 requests through 4 slots, arrivals mid-stream —
     # throughput should stay near the 4-slot steady state (prefill rides

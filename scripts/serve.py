@@ -34,6 +34,9 @@ def main():
     p.add_argument("--max-len", type=int, default=256)
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--decode-block", type=int, default=1,
+                   help="decode steps per host dispatch (on-device scan; "
+                        ">1 amortizes dispatch latency over K tokens)")
     p.add_argument("--tensor-parallel", type=int, default=1)
     p.add_argument("--bits", type=int, default=16, choices=[16, 8],
                    help="8 = int8-at-rest trunk (halves decode weight "
@@ -103,6 +106,7 @@ def main():
     eng = ServeEngine(model, params, max_batch=args.max_batch,
                       prompt_len=args.prompt_len, max_len=args.max_len,
                       temperature=args.temperature, mesh=mesh,
+                      decode_block=args.decode_block,
                       eos_id=getattr(tok, "eos_token_id", 2),
                       pad_id=getattr(tok, "pad_token_id", 0))
     t0 = time.time()

@@ -22,7 +22,13 @@ designed TPU-first:
 Per-token host round trips are inherent to interactive serving (the sampled
 token must reach the user); the engine amortizes the hosted-TPU dispatch
 latency across every active slot, which is exactly the continuous-batching
-win.
+win. `decode_block > 1` amortizes it further in the *time* dimension: K
+decode steps run on-device as one `lax.scan` per host dispatch, with EOS /
+cache-overflow deactivation folded into the scan so finished slots stop
+advancing mid-block. Token streams at temperature 0 are identical to
+decode_block=1 (budget/keyword stops are still enforced per token on the
+host, which simply discards the tail of the block); only admission cadence
+coarsens to one scheduling pass per K tokens.
 
 Text-only and multimodal (image-input) requests share the batch: image
 features occupy pre-reserved `IMAGE_TOKEN_INDEX` slots in the prompt, like
@@ -86,6 +92,9 @@ class ServeEngine:
     im_end_id: Optional[int] = None
     num_iter: int = 16                     # MaskGIT iterations per image
     cfg_scale: float = 1.0
+    # decode steps per host dispatch (lax.scan on-device). >1 amortizes the
+    # per-call dispatch latency (~90 ms on a tunneled chip) over K tokens.
+    decode_block: int = 1
     # bf16 cache halves decode-attention HBM traffic — the decode step is
     # bandwidth-bound on cache reads (B*S*layers*2*kv*dh bytes/token), so
     # cache width, not kernel fusion, sets its speed
@@ -140,6 +149,14 @@ class ServeEngine:
         self._step = jax.jit(partial(self._step_impl, self.model,
                                      self.temperature, self.pad_id),
                              donate_argnums=(1, 2, 3))
+        if self.decode_block < 1:
+            raise ValueError("decode_block must be >= 1")
+        if self.decode_block > 1:
+            self._step_multi = jax.jit(
+                partial(self._step_multi_impl, self.model, self.temperature,
+                        self.pad_id, self.eos_id, self.decode_block,
+                        self.max_len),
+                donate_argnums=(1, 2, 3))
         # admission prefills dispatch on a worker thread so the decode loop
         # never blocks on a prefill: the jitted call is pure (no engine
         # state), results splice in at harvest time. One worker keeps TPU
@@ -212,6 +229,43 @@ class ServeEngine:
         length = jnp.where(active, cache.length, cache.length - 1)
         return (KVCache(cache.k, cache.v, length), cache_valid, pos,
                 nxt, hidden)
+
+    @staticmethod
+    def _step_multi_impl(model, temperature, pad_id, eos_id, steps, max_len,
+                         params, cache, cache_valid, pos, cur_tok, active,
+                         rng):
+        """`steps` decode steps as one on-device scan (one host dispatch).
+
+        Per-step semantics match `_step_impl`; additionally a slot's active
+        flag flips off inside the scan when it emits EOS or its cache row
+        fills, so finished slots stop advancing mid-block (their later
+        tokens pad, their cache writes stay clamped). Returns the stacked
+        (steps, B) tokens / (steps, B, H) hiddens plus the (steps, B)
+        active-at-entry trace the host uses to attribute tokens to slots.
+        """
+        def body(carry, rk):
+            cache, cache_valid, pos, cur_tok, active = carry
+            logits, hidden, cache, cache_valid = model.apply(
+                params, cur_tok[:, None], cache, cache_valid, pos,
+                method=model.decode_step)
+            if temperature == 0.0:
+                nxt = jnp.argmax(logits, axis=-1)
+            else:
+                nxt = jax.random.categorical(rk, logits / temperature,
+                                             axis=-1)
+            nxt = jnp.where(active, nxt.astype(jnp.int32), pad_id)
+            new_pos = jnp.where(active, pos + 1, pos)
+            length = jnp.where(active, cache.length, cache.length - 1)
+            new_active = active & (nxt != eos_id) & (new_pos < max_len - 1)
+            carry = (KVCache(cache.k, cache.v, length), cache_valid,
+                     new_pos, nxt, new_active)
+            return carry, (nxt, hidden, active)
+
+        carry = (cache, cache_valid, pos, cur_tok, active)
+        carry, (toks, hiddens, act_in) = jax.lax.scan(
+            body, carry, jax.random.split(rng, steps))
+        cache, cache_valid, pos, cur_tok, _ = carry
+        return cache, cache_valid, pos, cur_tok, toks, hiddens, act_in
 
     # ------------------------------------------------------------------
     def submit(self, prompt_ids, image=None, max_new_tokens: int = 64,
@@ -332,6 +386,8 @@ class ServeEngine:
             if not self._active.any():
                 return 0
         self._rng, k = jax.random.split(self._rng)
+        if self.decode_block > 1:
+            return self._step_block(k)
         (self._cache, self._cache_valid, self._pos, self._cur_tok,
          hidden) = self._step(self.params, self._cache, self._cache_valid,
                               self._pos, self._cur_tok,
@@ -351,6 +407,42 @@ class ServeEngine:
                        and req.stopping.should_stop(req.tokens))
             if tok == self.eos_id or budget_done or kw_done:
                 self._retire(slot)
+        return int(self._active.sum())
+
+    def _step_block(self, rng) -> int:
+        """decode_block decode steps in one dispatch; per-token host checks.
+
+        A slot the host retires mid-block (budget / keyword) may have kept
+        decoding on-device for the rest of the block — those tokens are
+        discarded here and the slot's device state is fully overwritten at
+        its next admission splice, so the overshoot costs only device time.
+        """
+        pos_before = np.asarray(self._pos)
+        (self._cache, self._cache_valid, self._pos, self._cur_tok,
+         toks, hiddens, act_in) = self._step_multi(
+            self.params, self._cache, self._cache_valid, self._pos,
+            self._cur_tok, jnp.asarray(self._active), rng)
+        toks = np.asarray(toks)
+        hid = np.asarray(hiddens)
+        act = np.asarray(act_in)
+        for slot in range(self.max_batch):
+            req = self._slots[slot]
+            if req is None or not self._active[slot]:
+                continue
+            for t in range(self.decode_block):
+                if not act[t, slot]:
+                    break
+                req._hiddens.append(hid[t, slot])
+                tok = int(toks[t, slot])
+                req.tokens.append(tok)
+                budget_done = (len(req.tokens) >= req.max_new_tokens
+                               or pos_before[slot] + t + 1
+                               >= self.max_len - 1)
+                kw_done = (req.stopping is not None
+                           and req.stopping.should_stop(req.tokens))
+                if tok == self.eos_id or budget_done or kw_done:
+                    self._retire(slot)
+                    break
         return int(self._active.sum())
 
     def run(self, max_steps: int = 100000) -> None:

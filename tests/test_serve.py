@@ -298,6 +298,51 @@ def test_batched_admission_matches_offline(model_and_params):
         assert r.tokens == exp
 
 
+def test_decode_block_matches_single_step(model_and_params):
+    """decode_block>1 (K decode steps per host dispatch, on-device scan)
+    must produce token streams identical to decode_block=1 at temperature 0
+    — including EOS mid-block, budget stops, and admissions into recycled
+    slots between blocks."""
+    model, params = model_and_params
+    eos, pad, max_new = 2, 0, 7
+    prompts, images = zip(*[make_prompt(s) for s in range(5)])
+
+    base = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                       max_len=L + max_new + 2, eos_id=eos, pad_id=pad)
+    rb = [base.submit(p, image=im, max_new_tokens=max_new)
+          for p, im in zip(prompts, images)]
+    base.run()
+
+    eng = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                      max_len=L + max_new + 2, eos_id=eos, pad_id=pad,
+                      decode_block=4)
+    reqs = [eng.submit(p, image=im, max_new_tokens=max_new)
+            for p, im in zip(prompts, images)]
+    eng.run()
+
+    assert all(r.done for r in reqs)
+    for i, (r, b) in enumerate(zip(reqs, rb)):
+        assert r.tokens == b.tokens, f"request {i}: {r.tokens} != {b.tokens}"
+
+
+def test_decode_block_keyword_stop_exact(model_and_params):
+    """Host-side keyword stops fire at the same token index under
+    decode_block>1: the block's tail tokens are discarded, not surfaced."""
+    model, params = model_and_params
+
+    class StopAfterThree:
+        def should_stop(self, tokens):
+            return len(tokens) >= 3
+
+    ids, img = make_prompt(4)
+    eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                      max_len=L + 12, eos_id=2, pad_id=0, decode_block=5)
+    r = eng.submit(ids, image=img, max_new_tokens=10,
+                   stopping=StopAfterThree())
+    eng.run()
+    assert r.done and len(r.tokens) == 3
+
+
 def test_mixed_kind_admission_split(model_and_params):
     """Image and text-only requests cannot share a prefill graph — the
     dispatcher splits them into separate batched calls."""
