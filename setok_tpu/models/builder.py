@@ -72,7 +72,12 @@ def load_pretrained_model(model_path: str,
                     else os.path.join(model_path, "checkpoints"))
         step = ckpt.latest_step(ckpt_dir)
         if step is not None:
-            restored = ckpt.restore_checkpoint(ckpt_dir, step)
+            # lazy restore: read ONLY params/lora bytes — the optimizer
+            # moments that dominate a training checkpoint never leave disk
+            # (utils/checkpoint.restore_lazy; reference loads weight-only
+            # state_dicts at inference, builder.py:22-47)
+            restored = ckpt.restore_lazy(
+                ckpt_dir, ckpt.root_predicate("params", "lora"), step)
             # Stage2State dict layout: {'step','params','lora','opt_state'}
             state_params = (restored.get("params")
                             if isinstance(restored, dict) else
@@ -83,7 +88,7 @@ def load_pretrained_model(model_path: str,
                 params, state_params)
             lora_tree = (restored.get("lora")
                          if isinstance(restored, dict) else restored.lora)
-            if lora_tree:
+            if lora_tree and jax.tree.leaves(lora_tree):
                 params = merge_lora(params, lora_tree, lora_alpha, lora_r)
 
     if projector_path:

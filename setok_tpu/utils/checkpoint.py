@@ -145,6 +145,163 @@ class CheckpointRunner:
 
 
 # ---------------------------------------------------------------------------
+# Lazy / sharded restore for very large checkpoints.
+#
+# `restore_checkpoint(..., target=concrete_state)` round-trips every leaf
+# through host memory. For a 7B-scale Setokim that is ~28 GB fp32 twice
+# over (optimizer moments included) — it OOMs hosts that could easily hold
+# the *sharded* model. The TPU-native shape: hand orbax an ABSTRACT target
+# (jax.ShapeDtypeStruct + sharding) so each leaf is read from OCDBT
+# straight into its device shards, and mark leaves the caller doesn't want
+# with ocp.PLACEHOLDER so they are never read at all (serving wants params,
+# not Adam moments — the reference's load path similarly loads weights only,
+# builder.py:22-47).
+
+
+def abstract_like(tree: Any, shardings: Any = None) -> Any:
+    """ShapeDtypeStruct tree mirroring `tree` (concrete or abstract), with
+    per-leaf shardings attached when a matching shardings tree is given."""
+    def leaf_abs(leaf, sh):
+        if isinstance(leaf, jax.ShapeDtypeStruct):
+            return (jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sh)
+                    if sh is not None else leaf)
+        arr = jax.numpy.asarray(leaf) if np.isscalar(leaf) else leaf
+        sharding = sh
+        if sharding is None and isinstance(arr, jax.Array):
+            sharding = arr.sharding
+        return jax.ShapeDtypeStruct(np.shape(arr), arr.dtype,
+                                    sharding=sharding)
+
+    if shardings is None:
+        return jax.tree.map(lambda l: leaf_abs(l, None), tree)
+    return jax.tree.map(leaf_abs, tree, shardings)
+
+
+def restore_sharded(ckpt_dir: str, target: Any, shardings: Any = None,
+                    step: Optional[int] = None) -> Any:
+    """Restore directly into sharded device arrays — no full host copy.
+
+    `target` may be a concrete state (its shardings are reused) or an
+    abstract ShapeDtypeStruct tree; `shardings` (a matching tree of
+    jax.sharding.Sharding) overrides per-leaf placement, which is how a
+    checkpoint written under one mesh is re-laid-out onto another.
+    """
+    abstract = abstract_like(target, shardings)
+    with _manager(ckpt_dir) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+def restore_partial(ckpt_dir: str, target: Any,
+                    predicate: Callable[[str], bool],
+                    step: Optional[int] = None, shardings: Any = None) -> Any:
+    """Lazily restore ONLY the leaves whose path matches `predicate`.
+
+    Non-matching leaves are marked ocp.PLACEHOLDER, so orbax never reads
+    their bytes from disk (lazy, not read-then-drop). The returned tree has
+    restored values at matching positions and `target`'s original leaves
+    elsewhere. Matching leaves restore straight to device shards when
+    target/shardings carry sharding info (see restore_sharded).
+    """
+    abstract = abstract_like(target, shardings)
+
+    def mark(path, leaf):
+        name = jax.tree_util.keystr(path)
+        return leaf if predicate(name) else ocp.PLACEHOLDER
+
+    item = jax.tree_util.tree_map_with_path(mark, abstract)
+
+    # PyTreeRestore only honors shardings through explicit restore_args
+    # (a bare ShapeDtypeStruct item falls back to the checkpoint's saved
+    # sharding file → fully-replicated single-device arrays)
+    def rargs(leaf):
+        if leaf is ocp.PLACEHOLDER:
+            return ocp.RestoreArgs()
+        return ocp.ArrayRestoreArgs(sharding=leaf.sharding,
+                                    dtype=leaf.dtype)
+
+    restore_args = jax.tree.map(rargs, item,
+                                is_leaf=lambda x: x is ocp.PLACEHOLDER)
+    with _manager(ckpt_dir) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        restored = mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item,
+                                              restore_args=restore_args))
+
+    def merge(orig, got):
+        return orig if got is ocp.PLACEHOLDER else got
+
+    return jax.tree.map(merge, target, restored,
+                        is_leaf=lambda x: x is ocp.PLACEHOLDER)
+
+
+def checkpoint_metadata(ckpt_dir: str, step: Optional[int] = None):
+    """(abstract ShapeDtypeStruct tree, step) of a checkpoint WITHOUT
+    reading any array bytes — orbax tree metadata only."""
+    with ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            item_handlers=ocp.StandardCheckpointHandler()) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        md = mgr.item_metadata(step)
+
+    # md.tree is the raw nested dict; convert by hand so list nodes stay
+    # lists and None-valued entries stay None — jax flatten would drop the
+    # latter and break structure matching against the on-disk tree
+    def conv(node):
+        if isinstance(node, dict):
+            return {k: conv(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(conv(v) for v in node)
+        if node is None or getattr(node, "value_type", None) == "None":
+            return None
+        return jax.ShapeDtypeStruct(tuple(node.shape), node.dtype)
+
+    return conv(md.tree), step
+
+
+def restore_lazy(ckpt_dir: str, predicate: Callable[[str], bool],
+                 step: Optional[int] = None,
+                 sharding_for: Optional[Callable[[str], Any]] = None) -> Any:
+    """Restore ONLY the leaves matching `predicate` from a checkpoint whose
+    structure the caller does not know — it is discovered from metadata, so
+    nothing else is ever read (serving loads `params`/`lora`, not the
+    optimizer moments that dominate a training checkpoint's bytes).
+    Skipped positions hold ocp.PLACEHOLDER (ellipsis) in the result.
+    `sharding_for(pathstr)` may supply a jax.sharding.Sharding per leaf for
+    direct-to-device placement."""
+    abstract, step = checkpoint_metadata(ckpt_dir, step)
+
+    def mark(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if not predicate(name):
+            return ocp.PLACEHOLDER
+        sh = sharding_for(name) if sharding_for is not None else None
+        return (jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sh)
+                if sh is not None else leaf)
+
+    item = jax.tree_util.tree_map_with_path(mark, abstract)
+
+    def rargs(leaf):
+        if leaf is ocp.PLACEHOLDER:
+            return ocp.RestoreArgs()
+        return ocp.ArrayRestoreArgs(sharding=leaf.sharding,
+                                    dtype=leaf.dtype)
+
+    restore_args = jax.tree.map(rargs, item,
+                                is_leaf=lambda x: x is ocp.PLACEHOLDER)
+    with _manager(ckpt_dir) as mgr:
+        return mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item,
+                                              restore_args=restore_args))
+
+
+# ---------------------------------------------------------------------------
 # pytree-path filtering (the reference's key-prefix dict surgery)
 
 
@@ -186,6 +343,14 @@ def prefix_predicate(*prefixes: str) -> Callable[[str], bool]:
     """Match any path containing one of the given component names."""
     pats = [re.compile(re.escape(p)) for p in prefixes]
     return lambda name: any(p.search(name) for p in pats)
+
+
+def root_predicate(*roots: str) -> Callable[[str], bool]:
+    """Match paths whose FIRST component is one of `roots`. Unlike
+    prefix_predicate this cannot be fooled by optimizer-moment subtrees
+    that mirror the param tree deeper down (opt_state…['params']…)."""
+    keys = {f"['{r}']" for r in roots}
+    return lambda name: any(name.startswith(k) for k in keys)
 
 
 def save_subtree(path: str, tree: Any,
