@@ -90,6 +90,58 @@ def main():
         n1 = sum(len(r.tokens) for r in reqs)
         record("serve_decode_tokens_per_sec", (n1 - n0) / dt, slots, block)
 
+    # speculative decoding, both bounds. Natural prompt-lookup drafts on a
+    # RANDOM tiny model accept ~never → measures pure verify overhead
+    # (worst case); oracle drafts (the known greedy continuation) accept
+    # fully → the (1+D)x dispatch-amortization ceiling. Real text sits in
+    # between, pushed toward the ceiling by repetitive VQA/edit replies.
+    import setok_tpu.serve.speculative as spec_mod
+
+    streams = {}
+    eng = ServeEngine(model, params, max_batch=4, prompt_len=L,
+                      max_len=L + args.max_new + 8, eos_id=-1, pad_id=0)
+    base_reqs = [eng.submit(*prompt(s), max_new_tokens=args.max_new)
+                 for s in range(4)]
+    eng.run()
+    for s, r in enumerate(base_reqs):
+        streams[s] = list(r.tokens)
+
+    real_draft = spec_mod.draft_prompt_lookup
+
+    def oracle_draft(context, num_draft, max_ngram=3, pad_id=0):
+        ctx = list(context)
+        for full in streams.values():
+            n = next((n for n in range(min(len(full), len(ctx)), -1, -1)
+                      if ctx[len(ctx) - n:] == full[:n]), 0)
+            if n > 0:
+                out = np.full((num_draft,), pad_id, np.int64)
+                nxt = full[n:n + num_draft]
+                out[:len(nxt)] = nxt
+                return out
+        return np.full((num_draft,), pad_id, np.int64)
+
+    for d, drafter, tag in ((3, real_draft, "natural"),
+                            (7, real_draft, "natural"),
+                            (3, oracle_draft, "oracle"),
+                            (7, oracle_draft, "oracle")):
+        spec_mod.draft_prompt_lookup = drafter
+        eng = ServeEngine(model, params, max_batch=4, prompt_len=L,
+                          max_len=L + args.max_new + d + 4, eos_id=-1,
+                          pad_id=0, spec_len=d)
+        reqs = [eng.submit(*prompt(s), max_new_tokens=args.max_new)
+                for s in range(4)]
+        for _ in range(3):
+            eng.step()
+        n0 = sum(len(r.tokens) for r in reqs)
+        t0 = time.time()
+        while any(not r.done for r in reqs):
+            eng.step()
+        dt = time.time() - t0
+        n1 = sum(len(r.tokens) for r in reqs)
+        record(f"serve_decode_tokens_per_sec_spec_{tag}", (n1 - n0) / dt,
+               4, block=d)
+    spec_mod.draft_prompt_lookup = real_draft
+
     # admission overlap: 8 requests through 4 slots, arrivals mid-stream —
     # throughput should stay near the 4-slot steady state (prefill rides
     # the worker thread, decode never stalls on it)

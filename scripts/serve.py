@@ -37,10 +37,16 @@ def main():
     p.add_argument("--decode-block", type=int, default=1,
                    help="decode steps per host dispatch (on-device scan; "
                         ">1 amortizes dispatch latency over K tokens)")
+    p.add_argument("--spec-len", type=int, default=0,
+                   help="speculative decoding: draft N tokens per slot by "
+                        "prompt lookup, verify in one chunked forward "
+                        "(greedy only; exclusive with --decode-block>1)")
+    p.add_argument("--spec-ngram", type=int, default=3)
     p.add_argument("--tensor-parallel", type=int, default=1)
-    p.add_argument("--bits", type=int, default=16, choices=[16, 8],
-                   help="8 = int8-at-rest trunk (halves decode weight "
-                        "traffic + memory; reference load_8bit)")
+    p.add_argument("--bits", type=int, default=16, choices=[16, 8, 4],
+                   help="8/4 = int8/packed-int4-at-rest trunk (halves/"
+                        "quarters decode weight traffic + memory; "
+                        "reference load_8bit/load_4bit)")
     p.add_argument("--tiny", action="store_true", default=True)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -90,11 +96,11 @@ def main():
                             jax.numpy.asarray(ids0), img0,
                             jax.random.PRNGKey(1), method=model.init_all)
 
-    if args.bits == 8 and not args.checkpoint:
+    if args.bits in (8, 4) and not args.checkpoint:
         from setok_tpu.models.llama import quantize_trunk_weights
         from setok_tpu.models.setokim import Setokim as _S
-        params = quantize_trunk_weights(params)
-        model = _S(cfg, target_token_id=3, weights_int8=True)
+        params = quantize_trunk_weights(params, bits=args.bits)
+        model = _S(cfg, target_token_id=3, weight_bits=args.bits)
 
     mesh = None
     if args.tensor_parallel > 1:
@@ -107,6 +113,7 @@ def main():
                       prompt_len=args.prompt_len, max_len=args.max_len,
                       temperature=args.temperature, mesh=mesh,
                       decode_block=args.decode_block,
+                      spec_len=args.spec_len, spec_ngram=args.spec_ngram,
                       eos_id=getattr(tok, "eos_token_id", 2),
                       pad_id=getattr(tok, "pad_token_id", 0))
     t0 = time.time()

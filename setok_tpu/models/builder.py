@@ -57,10 +57,10 @@ def load_pretrained_model(model_path: str,
       * '' / nonexistent → fresh init (weights then spliced from
         `projector_path` / `lora_path`).
 
-    bits=8: the LLaMA trunk is converted to int8-at-rest after all
-    splicing/merging (quantize_trunk_weights) and the returned model has
-    `weights_int8=True` — the reference's `load_8bit` serving mode
-    (builder.py:32-41) on the TPU w8a8 kernel.
+    bits=8/4: the LLaMA trunk is converted to int8/packed-int4 at rest
+    after all splicing/merging (quantize_trunk_weights) and the returned
+    model has `weight_bits` set — the reference's `load_8bit`/`load_4bit`
+    serving modes (builder.py:32-41) on the TPU w8a8/w4a8 kernels.
     """
     cfg = model_cfg or (cfgs.tiny_setokim() if tiny else cfgs.base_setokim())
     model = Setokim(cfg, target_token_id=target_token_id,
@@ -104,11 +104,11 @@ def load_pretrained_model(model_path: str,
             lora_tree.setdefault(path, {})[ab] = data[key]
         params = merge_lora(params, lora_tree, lora_alpha, lora_r)
 
-    if bits == 8:
+    if bits in (8, 4):
         from setok_tpu.models.llama import quantize_trunk_weights
-        params = quantize_trunk_weights(params)
+        params = quantize_trunk_weights(params, bits=bits)
         model = Setokim(cfg, target_token_id=target_token_id,
-                        pad_token_id=pad_token_id, weights_int8=True)
+                        pad_token_id=pad_token_id, weight_bits=bits)
     return model, params
 
 

@@ -80,12 +80,31 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                    length=jnp.zeros((), jnp.int32))
 
 
+def _dense_factory(weight_bits: int, dtype, param_dtype):
+    """Trunk linear constructor for the weight-at-rest precision.
+
+    16 → plain Dense; 8 → QuantDense (w8a8 kernel, reference `load_8bit`,
+    builder.py:32-41); 4 → Quant4Dense (packed-nibble w4a8, reference
+    `load_4bit` — RTN int4, see ops/blocks.Quant4Dense for the NF4
+    non-goal argument)."""
+    if weight_bits == 8:
+        from setok_tpu.ops.blocks import QuantDense
+        return lambda feats, name: QuantDense(feats, dtype=dtype, name=name)
+    if weight_bits == 4:
+        from setok_tpu.ops.blocks import Quant4Dense
+        return lambda feats, name: Quant4Dense(feats, dtype=dtype,
+                                               name=name)
+    assert weight_bits == 16, weight_bits
+    return lambda feats, name: nn.Dense(feats, use_bias=False, dtype=dtype,
+                                        param_dtype=param_dtype, name=name)
+
+
 class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False     # Pallas fused kernel (kernels/flash_attention)
-    weights_int8: bool = False  # int8-at-rest linears (ops/blocks.QuantDense)
+    weight_bits: int = 16   # 8/4 = quantized-at-rest linears (ops/blocks)
     # Sequence parallelism: a (data, seq) Mesh routes prefill/training
     # attention through the K/V ring (parallel/ring_attention.py) with the
     # sequence sharded over SEQ_AXIS. mask may then be None (no global
@@ -102,14 +121,8 @@ class LlamaAttention(nn.Module):
         and new entries are written at [cache_length, cache_length+L)."""
         cfg = self.cfg
         b, l, _ = x.shape
-        if self.weights_int8:
-            from setok_tpu.ops.blocks import QuantDense
-            dense = lambda feats, name: QuantDense(feats, dtype=self.dtype,
-                                                   name=name)
-        else:
-            dense = lambda feats, name: nn.Dense(
-                feats, use_bias=False, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=name)
+        dense = _dense_factory(self.weight_bits, self.dtype,
+                               self.param_dtype)
         q = dense(cfg.num_heads * cfg.head_dim, "q_proj")(x)
         k = dense(cfg.num_kv_heads * cfg.head_dim, "k_proj")(x)
         v = dense(cfg.num_kv_heads * cfg.head_dim, "v_proj")(x)
@@ -197,19 +210,13 @@ class LlamaMLP(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    weights_int8: bool = False
+    weight_bits: int = 16
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        if self.weights_int8:
-            from setok_tpu.ops.blocks import QuantDense
-            dense = lambda feats, name: QuantDense(feats, dtype=self.dtype,
-                                                   name=name)
-        else:
-            dense = lambda feats, name: nn.Dense(
-                feats, use_bias=False, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=name)
+        dense = _dense_factory(self.weight_bits, self.dtype,
+                               self.param_dtype)
         gate = nn.silu(dense(cfg.intermediate_size, "gate_proj")(x))
         up = dense(cfg.intermediate_size, "up_proj")(x)
         return dense(cfg.hidden_size, "down_proj")(gate * up)
@@ -220,7 +227,7 @@ class LlamaBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
-    weights_int8: bool = False
+    weight_bits: int = 16
     ring_mesh: Any = None
 
     @nn.compact
@@ -231,7 +238,7 @@ class LlamaBlock(nn.Module):
                     name="input_norm")(x)
         h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype,
                                       use_flash=self.use_flash,
-                                      weights_int8=self.weights_int8,
+                                      weight_bits=self.weight_bits,
                                       ring_mesh=self.ring_mesh,
                                       name="attn")(h, mask, positions,
                                                    cache_kv, cache_length,
@@ -240,7 +247,7 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
                     name="post_attn_norm")(x)
         x = x + LlamaMLP(cfg, self.dtype, self.param_dtype,
-                         weights_int8=self.weights_int8, name="mlp")(h)
+                         weight_bits=self.weight_bits, name="mlp")(h)
         return x, new_cache
 
 
@@ -278,7 +285,7 @@ class LlamaModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
-    weights_int8: bool = False
+    weight_bits: int = 16
     ring_mesh: Any = None
 
     @nn.compact
@@ -298,7 +305,7 @@ class LlamaModel(nn.Module):
                         if cache is not None else None)
             cache_len = cache.length if cache is not None else None
             x, updated = block_cls(cfg, self.dtype, self.param_dtype,
-                                   self.use_flash, self.weights_int8,
+                                   self.use_flash, self.weight_bits,
                                    self.ring_mesh,
                                    name=f"layer_{i}")(x, mask, positions,
                                                       cache_kv, cache_len,
@@ -325,7 +332,7 @@ class LlamaForCausalLM(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
-    weights_int8: bool = False
+    weight_bits: int = 16
     ring_mesh: Any = None
 
     def setup(self):
@@ -335,7 +342,7 @@ class LlamaForCausalLM(nn.Module):
                                      param_dtype=self.param_dtype)
         self.model = LlamaModel(cfg, self.dtype, self.param_dtype,
                                 remat=self.remat, use_flash=self.use_flash,
-                                weights_int8=self.weights_int8,
+                                weight_bits=self.weight_bits,
                                 ring_mesh=self.ring_mesh)
         if not cfg.tie_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
@@ -374,19 +381,29 @@ _TRUNK_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj",
                   "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_trunk_weights(params):
-    """Float LlamaForCausalLM params → the weights_int8 layout.
+def quantize_trunk_weights(params, bits: int = 8):
+    """Float LlamaForCausalLM params → the weight_bits={8,4} layout.
 
-    Each trunk linear's {'kernel': (in, out) float} becomes {'q': int8,
-    's': (1, out) f32} (per-output-channel symmetric — the layout
-    `ops/blocks.QuantDense` declares and the w8a8 kernel consumes).
-    Embeddings, norms, and lm_head stay float. Works on the
-    LlamaForCausalLM subtree or any tree containing it.
-    Parity: the reference's `load_8bit` (builder.py:32-41, bnb
-    Int8Params) — recast as an offline tree transform."""
-    from setok_tpu.kernels.quant_matmul import quantize_weight
+    Each trunk linear's {'kernel': (in, out) float} becomes, at bits=8,
+    {'q': int8, 's': (1, out) f32} (per-output-channel symmetric — the
+    layout `ops/blocks.QuantDense` declares) or, at bits=4, {'p': int8
+    (in//2, out) packed nibbles, 's': (1, out) f32} (ops/blocks.
+    Quant4Dense). Embeddings, norms, and lm_head stay float. Works on
+    the LlamaForCausalLM subtree or any tree containing it.
+    Parity: the reference's `load_8bit`/`load_4bit` (builder.py:32-41,
+    bnb Int8Params/NF4) — recast as an offline tree transform."""
+    from setok_tpu.kernels.quant_matmul import (quantize_weight,
+                                                quantize_weight_int4)
 
     from collections.abc import Mapping
+    assert bits in (8, 4), bits
+
+    def convert(kernel):
+        if bits == 8:
+            qw = quantize_weight(kernel)
+            return {"q": qw.values, "s": qw.scales}
+        qw = quantize_weight_int4(kernel)
+        return {"p": qw.packed, "s": qw.scales}
 
     def walk(node):
         if not isinstance(node, Mapping):
@@ -395,8 +412,7 @@ def quantize_trunk_weights(params):
         for k, v in node.items():
             if (k in _TRUNK_LINEARS and isinstance(v, dict)
                     and "kernel" in v and getattr(v["kernel"], "ndim", 0) == 2):
-                qw = quantize_weight(v["kernel"])
-                out[k] = {"q": qw.values, "s": qw.scales}
+                out[k] = convert(v["kernel"])
             else:
                 out[k] = walk(v)
         return out

@@ -71,7 +71,7 @@ class Setokim(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False                   # Pallas attention in the trunk
-    weights_int8: bool = False                # int8-at-rest trunk (serving)
+    weight_bits: int = 16                     # 8/4-at-rest trunk (serving)
     # sequence-parallel training: a (data, seq) mesh routes trunk attention
     # through the K/V ring (parallel/ring_attention.py); the global (L, L)
     # attention mask is never materialized (long-context, SURVEY §5)
@@ -82,7 +82,7 @@ class Setokim(nn.Module):
         self.llama = LlamaForCausalLM(cfg.llama, self.dtype,
                                       self.param_dtype, remat=self.remat,
                                       use_flash=self.use_flash,
-                                      weights_int8=self.weights_int8,
+                                      weight_bits=self.weight_bits,
                                       ring_mesh=self.ring_mesh)
         self.vision_tower = SetokTokenizer(cfg.tokenizer,
                                            freeze_backbone=True,
@@ -340,6 +340,36 @@ class Setokim(nn.Module):
         hidden, cache = self.llama.model(embeds, mask, positions, cache)
         return (self.llama.logits(hidden)[:, 0], hidden[:, 0], cache,
                 cache_valid)
+
+    def verify_step(self, token_ids, cache: KVCache, cache_valid,
+                    next_position):
+        """Chunked decode for speculative verification: token_ids (B, T) =
+        [current token, T-1 draft tokens] → (logits (B, T, V), hidden
+        (B, T, H), cache, cache_valid). One forward scores every draft
+        position (causal within the chunk, per-row cache append at
+        [length, length+T)) — T tokens of logits for ONE weight-streaming
+        pass, which is the whole speculative-decoding win in the
+        HBM-bound decode regime. The caller rewinds `cache.length` and the
+        chunk's `cache_valid` bits past the accepted prefix
+        (serve/engine.py::_spec_step_impl); K/V written for rejected
+        drafts become invalid and are overwritten by later appends.
+        Beyond parity: the reference decodes strictly one token per
+        forward (HF generate, setokim_llama.py:285-300)."""
+        b, t = token_ids.shape
+        embeds = self.llama.embed(token_ids)
+        if getattr(cache.length, "ndim", 0) == 1:
+            rows = jnp.arange(b)[:, None]
+            cols = cache.length[:, None] + jnp.arange(t)[None, :]
+            cache_valid = cache_valid.at[rows, cols].set(True, mode="drop")
+        else:
+            cache_valid = jax.lax.dynamic_update_slice(
+                cache_valid, jnp.ones((b, t), cache_valid.dtype),
+                (0, cache.length))
+        valid = jnp.ones((b, t), bool)
+        positions = next_position[:, None] + jnp.arange(t)[None, :]
+        mask = make_attention_mask(valid, positions, cache_valid=cache_valid)
+        hidden, cache = self.llama.model(embeds, mask, positions, cache)
+        return self.llama.logits(hidden), hidden, cache, cache_valid
 
     def sample_image_tokens(self, cond, rng, num_iter: int = 16,
                             cfg_scale: float = 1.0, temperature: float = 1.0):

@@ -93,6 +93,37 @@ class QuantDense(nn.Module):
                             out_dtype=self.dtype, interpret=interpret)
 
 
+class Quant4Dense(nn.Module):
+    """Dense layer whose weights LIVE as packed int4 nibbles (+ per-output-
+    channel fp32 scales) — QUARTER the bf16 HBM traffic for the weight-
+    streaming-bound decode step, measured 33–38% faster per linear than
+    int8 at slot-batch 8 on v5e (PERF.md, perf/ab_int4_decode.py).
+
+    Parity: the reference's `load_4bit` path (builder.py:32-41, bnb NF4).
+    TPU recast: params are {'p': int8 (in//2, out) half-packed nibbles,
+    's': (1, out) f32} from `models/llama.quantize_trunk_weights(bits=4)`;
+    forward unpacks in-kernel to int8 planes for MXU dots (native jnp.int4
+    does not compile on v5e — Mosaic rejects int4 memrefs). Symmetric RTN
+    int4, not NF4: the reference's NF4 lookup table has no MXU-compatible
+    dot; RTN costs ~7e-2 max-rel output error (vs ~1e-2 int8)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.shape[-1] % 2 == 0, "int4 packing needs even in-features"
+        p = self.param("p", nn.initializers.zeros,
+                       (x.shape[-1] // 2, self.features), jnp.int8)
+        s = self.param("s", nn.initializers.ones, (1, self.features),
+                       jnp.float32)
+        from setok_tpu.kernels.quant_matmul import (Quant4Weight,
+                                                    quant4_matmul)
+        interpret = jax.devices()[0].platform != "tpu"
+        return quant4_matmul(x, Quant4Weight(packed=p, scales=s),
+                             out_dtype=self.dtype, interpret=interpret)
+
+
 def mask_to_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32) -> Optional[jnp.ndarray]:
     """Boolean attention mask (True = attend) → additive bias."""
     if mask is None:

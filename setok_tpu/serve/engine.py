@@ -95,6 +95,19 @@ class ServeEngine:
     # decode steps per host dispatch (lax.scan on-device). >1 amortizes the
     # per-call dispatch latency (~90 ms on a tunneled chip) over K tokens.
     decode_block: int = 1
+    # speculative decoding (greedy only): draft spec_len tokens per slot by
+    # prompt lookup (serve/speculative.py) and verify them in ONE chunked
+    # forward (models/setokim.py::verify_step) — each accepted draft saves a
+    # full weight-streaming decode step. Greedy verification is exact:
+    # every emitted token is the argmax of a real model forward over its
+    # own prefix. The stream can still differ from spec_len=0 at fp
+    # near-ties (the (B, 1+D) verify forward tiles differently than the
+    # (B, 1) decode forward, and reassociation flips argmax when the
+    # top-2 logit gap is ~1e-3 — same caveat as the batched-admission
+    # tests note for cross-shape parity), and slots retire spec_len
+    # tokens earlier at the cache-capacity edge.
+    spec_len: int = 0
+    spec_ngram: int = 3
     # bf16 cache halves decode-attention HBM traffic — the decode step is
     # bandwidth-bound on cache reads (B*S*layers*2*kv*dh bytes/token), so
     # cache width, not kernel fusion, sets its speed
@@ -137,6 +150,11 @@ class ServeEngine:
         self._pos = jnp.zeros((b,), jnp.int32)
         self._cur_tok = jnp.full((b,), self.pad_id, jnp.int32)
         self._active = np.zeros((b,), bool)    # host-side scheduler state
+        # host mirror of each row's physical write offset (cache.length).
+        # pos (semantic position) undercounts it for padded prompts, so
+        # capacity stops must use this, not pos: a write past max_len
+        # clamps backward over valid entries (llama.py per-row scatter).
+        self._len_host = np.zeros((b,), np.int64)
         self._rng = jax.random.PRNGKey(0)
 
         self._prefill = jax.jit(partial(self._prefill_impl, self.model,
@@ -156,6 +174,18 @@ class ServeEngine:
                 partial(self._step_multi_impl, self.model, self.temperature,
                         self.pad_id, self.eos_id, self.decode_block,
                         self.max_len),
+                donate_argnums=(1, 2, 3))
+        if self.spec_len < 0:
+            raise ValueError("spec_len must be >= 0")
+        if self.spec_len > 0:
+            if self.temperature != 0.0:
+                raise ValueError("speculative decoding is greedy-exact; "
+                                 "temperature must be 0.0")
+            if self.decode_block > 1:
+                raise ValueError("spec_len and decode_block>1 are exclusive "
+                                 "amortizations — pick one")
+            self._spec = jax.jit(
+                partial(self._spec_step_impl, self.model, self.pad_id),
                 donate_argnums=(1, 2, 3))
         # admission prefills dispatch on a worker thread so the decode loop
         # never blocks on a prefill: the jitted call is pure (no engine
@@ -267,6 +297,41 @@ class ServeEngine:
         cache, cache_valid, pos, cur_tok, _ = carry
         return cache, cache_valid, pos, cur_tok, toks, hiddens, act_in
 
+    @staticmethod
+    def _spec_step_impl(model, pad_id, params, cache, cache_valid, pos,
+                        cur_tok, drafts, active, rng):
+        """One speculative dispatch: verify (B, 1+D) chunks, accept the
+        longest greedy-matching draft prefix, rewind the rest.
+
+        The trunk writes K/V for all 1+D inputs at each row's offset;
+        afterwards `cache_valid` bits past the accepted prefix are cleared
+        and `length`/`pos` advance by only the accepted count, so rejected
+        entries are invalid and get overwritten by later appends. Returns
+        per-row emitted counts plus the (B, 1+D) true-token/hidden arrays
+        the host attributes to slots (first `emit[b]` of each row).
+        `rng` is unused (greedy) but keeps the host call signature uniform.
+        """
+        del rng
+        b, d = drafts.shape
+        tokens = jnp.concatenate([cur_tok[:, None], drafts], axis=1)
+        old_len = cache.length
+        logits, hidden, cache, cache_valid = model.apply(
+            params, tokens, cache, cache_valid, pos,
+            method=model.verify_step)
+        true_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, 1+D)
+        match = drafts == true_tok[:, :-1]
+        acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        emit = jnp.where(active, acc + 1, 0)
+        t = d + 1
+        rows = jnp.arange(b)[:, None]
+        cols = old_len[:, None] + jnp.arange(t)[None, :]
+        keep = jnp.arange(t)[None, :] < emit[:, None]
+        cache_valid = cache_valid.at[rows, cols].set(keep, mode="drop")
+        nxt = jnp.take_along_axis(true_tok, acc[:, None], axis=1)[:, 0]
+        nxt = jnp.where(active, nxt, pad_id)
+        return (KVCache(cache.k, cache.v, old_len + emit), cache_valid,
+                pos + emit, nxt, true_tok, hidden, emit)
+
     # ------------------------------------------------------------------
     def submit(self, prompt_ids, image=None, max_new_tokens: int = 64,
                stopping=None) -> Request:
@@ -341,6 +406,7 @@ class ServeEngine:
                     self._cur_tok, jnp.asarray(slot, jnp.int32), rc,
                     row_valid[i:i + 1], row_pos[i:i + 1], first[i:i + 1])
                 self._active[slot] = True
+                self._len_host[slot] = int(row_cache.length)
                 req.tokens.append(int(firsts[i]))
                 if int(firsts[i]) == self.eos_id:
                     self._retire(slot)
@@ -380,12 +446,24 @@ class ServeEngine:
         waits for one when it has nothing else to do."""
         self._dispatch_prefills()
         self._harvest_prefills()
+        # capacity guard: a dispatch writes `need` cache entries per row at
+        # its length offset; rows without room must retire BEFORE the
+        # dispatch (a clamped write would slide backward over valid
+        # entries). Conservative for decode_block (a mid-block EOS uses
+        # fewer), exact for single-step and speculative chunks.
+        need = 1 + self.spec_len if self.spec_len else self.decode_block
+        for slot in range(self.max_batch):
+            if self._active[slot] and \
+                    self._len_host[slot] + need > self.max_len:
+                self._retire(slot)
         if not self._active.any():
             if self._pending:
                 self._harvest_prefills(block=True)
             if not self._active.any():
                 return 0
         self._rng, k = jax.random.split(self._rng)
+        if self.spec_len > 0:
+            return self._step_spec(k)
         if self.decode_block > 1:
             return self._step_block(k)
         (self._cache, self._cache_valid, self._pos, self._cur_tok,
@@ -401,6 +479,7 @@ class ServeEngine:
             req._hiddens.append(hid[slot])   # hidden of the fed token
             tok = int(toks[slot])
             req.tokens.append(tok)
+            self._len_host[slot] += 1
             budget_done = (len(req.tokens) >= req.max_new_tokens
                            or int(self._pos[slot]) >= self.max_len - 1)
             kw_done = (req.stopping is not None
@@ -435,9 +514,56 @@ class ServeEngine:
                 req._hiddens.append(hid[t, slot])
                 tok = int(toks[t, slot])
                 req.tokens.append(tok)
+                self._len_host[slot] += 1
                 budget_done = (len(req.tokens) >= req.max_new_tokens
                                or pos_before[slot] + t + 1
                                >= self.max_len - 1)
+                kw_done = (req.stopping is not None
+                           and req.stopping.should_stop(req.tokens))
+                if tok == self.eos_id or budget_done or kw_done:
+                    self._retire(slot)
+                    break
+        return int(self._active.sum())
+
+    def _step_spec(self, rng) -> int:
+        """Speculative step: draft by prompt lookup, verify in one forward.
+
+        Accepted tokens emit exactly as spec_len=0 greedy decoding would
+        (verification is exact); the host applies the same per-token
+        budget / keyword / EOS checks over each row's accepted prefix.
+        Slots retire `spec_len` tokens before the cache edge so a full
+        chunk always has write room (verify_step appends 1+D entries).
+        """
+        from setok_tpu.serve.speculative import draft_prompt_lookup
+        d = self.spec_len
+        drafts = np.full((self.max_batch, d), self.pad_id, np.int32)
+        for slot in range(self.max_batch):
+            req = self._slots[slot]
+            if req is None or not self._active[slot]:
+                continue
+            ctx = ([int(x) for x in req.prompt_ids[-self.prompt_len:]]
+                   + req.tokens)
+            drafts[slot] = draft_prompt_lookup(ctx, d, self.spec_ngram,
+                                               self.pad_id)
+        (self._cache, self._cache_valid, self._pos, self._cur_tok,
+         true_tok, hiddens, emit) = self._spec(
+            self.params, self._cache, self._cache_valid, self._pos,
+            self._cur_tok, jnp.asarray(drafts), jnp.asarray(self._active),
+            rng)
+        toks = np.asarray(true_tok)
+        hid = np.asarray(hiddens)
+        emit = np.asarray(emit)
+        for slot in range(self.max_batch):
+            req = self._slots[slot]
+            if req is None or not self._active[slot]:
+                continue
+            for i in range(int(emit[slot])):
+                req._hiddens.append(hid[slot, i])
+                tok = int(toks[slot, i])
+                req.tokens.append(tok)
+                self._len_host[slot] += 1
+                # cache capacity is enforced by step()'s pre-dispatch guard
+                budget_done = len(req.tokens) >= req.max_new_tokens
                 kw_done = (req.stopping is not None
                            and req.stopping.should_stop(req.tokens))
                 if tok == self.eos_id or budget_done or kw_done:

@@ -38,7 +38,7 @@ def test_quantize_trunk_weights_structure():
     ids = jnp.zeros((1, 4), jnp.int32)
     p_f = LlamaForCausalLM(cfg).init(jax.random.PRNGKey(0), ids)
     p_q = quantize_trunk_weights(p_f)
-    p_ref = LlamaForCausalLM(cfg, weights_int8=True).init(
+    p_ref = LlamaForCausalLM(cfg, weight_bits=8).init(
         jax.random.PRNGKey(0), ids)
     assert (jax.tree_util.tree_structure(p_q)
             == jax.tree_util.tree_structure(p_ref))
@@ -46,3 +46,66 @@ def test_quantize_trunk_weights_structure():
     a = p_f["params"]["embed_tokens"]["embedding"]
     b = p_q["params"]["embed_tokens"]["embedding"]
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------- int4
+def test_quant4_matmul_oracle():
+    """Packed-nibble w4a8 kernel == dequantized reference math (same
+    weight error, exact activation quant), interpret mode on CPU."""
+    from setok_tpu.kernels.quant_matmul import (matmul4_reference,
+                                                quant4_matmul,
+                                                quantize_weight_int4)
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(64, 48).astype(np.float32) * 0.1)
+    x = jnp.asarray(rs.randn(9, 64).astype(np.float32))   # odd M → pad path
+    qw = quantize_weight_int4(w)
+    out = quant4_matmul(x, qw, interpret=True)
+
+    xs = np.maximum(np.max(np.abs(np.asarray(x)), -1, keepdims=True),
+                    1e-8) / 127.0
+    x8 = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+    ref = np.asarray(matmul4_reference(jnp.asarray(x8 * xs), qw))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    # int4 error vs the float matmul is bounded (looser than int8)
+    exact = np.asarray(x) @ np.asarray(w)
+    rel = np.abs(np.asarray(out) - exact).max() / np.abs(exact).max()
+    assert rel < 0.15, rel
+
+
+def test_quant4_pack_roundtrip():
+    """pack(quantize_int4) → unpack recovers the exact int4 planes."""
+    from setok_tpu.kernels.quant_matmul import (quantize_weight_int4,
+                                                unpack_nibbles)
+    rs = np.random.RandomState(1)
+    w = jnp.asarray(rs.randn(32, 16).astype(np.float32))
+    qw = quantize_weight_int4(w)
+    lo, hi = unpack_nibbles(qw.packed)
+    full = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=0)
+    direct = np.clip(np.round(np.asarray(w) / np.asarray(qw.scales)),
+                     -7, 7)
+    np.testing.assert_array_equal(full, direct)
+    assert full.min() >= -7 and full.max() <= 7
+
+
+def test_quantize_trunk_weights_int4_structure():
+    """bits=4 converter produces exactly the tree Quant4Dense-flagged
+    modules declare; embeddings untouched."""
+    from setok_tpu import config as cfgs
+    from setok_tpu.models.llama import (LlamaForCausalLM,
+                                        quantize_trunk_weights)
+    cfg = cfgs.tiny_llama()
+    ids = jnp.zeros((1, 4), jnp.int32)
+    p_f = LlamaForCausalLM(cfg).init(jax.random.PRNGKey(0), ids)
+    p_q = quantize_trunk_weights(p_f, bits=4)
+    p_ref = LlamaForCausalLM(cfg, weight_bits=4).init(
+        jax.random.PRNGKey(0), ids)
+    assert (jax.tree_util.tree_structure(p_q)
+            == jax.tree_util.tree_structure(p_ref))
+    a = p_f["params"]["embed_tokens"]["embedding"]
+    b = p_q["params"]["embed_tokens"]["embedding"]
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    # forward agrees with the float trunk to int4 tolerance
+    lf = LlamaForCausalLM(cfg).apply(p_f, ids)[0]
+    lq = LlamaForCausalLM(cfg, weight_bits=4).apply(p_q, ids)[0]
+    corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
+    assert corr > 0.95, corr
