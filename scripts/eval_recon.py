@@ -36,6 +36,12 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--synthetic-structured", action="store_true",
                    help="synthetic = colored shapes (utils/synthetic.py)")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="override config image size (match training)")
+    p.add_argument("--min-cluster-num", type=int, default=None)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="cluster threshold — MUST match the trained run's")
+    p.add_argument("--k-max", type=int, default=None)
     p.add_argument("--eval-seed", type=int, default=10_000,
                    help="seed offset for the synthetic eval set (held out "
                         "from training's seeds)")
@@ -55,6 +61,17 @@ def main():
     tok_cfg = cfgs.tiny_tokenizer() if args.tiny else cfgs.base_tokenizer()
     det_cfg = (cfgs.tiny_detokenizer() if args.tiny
                else cfgs.base_detokenizer())
+    if args.image_size:
+        tok_cfg = cfgs.replace(
+            tok_cfg, vit=cfgs.replace(tok_cfg.vit,
+                                      image_size=args.image_size))
+        det_cfg = cfgs.replace(det_cfg, image_size=args.image_size)
+    overrides = {k: v for k, v in
+                 (("min_cluster_num", args.min_cluster_num),
+                  ("threshold", args.threshold),
+                  ("k_max", args.k_max)) if v is not None}
+    if overrides:
+        tok_cfg = cfgs.replace(tok_cfg, **overrides)
     kw = {}
     if args.precision == "bf16":
         kw = dict(dtype=jnp.bfloat16)

@@ -264,8 +264,10 @@ def main():
             logger.warning("preempted: saved @ %d, exiting", step + 1)
             break
         batch = next(it)
+    else:
+        step = args.steps - 1              # loop ran to completion
     runner.close()
-    logger.info("done: %d steps", args.steps)
+    logger.info("done: %d/%d steps", step + 1, args.steps)
 
 
 if __name__ == "__main__":
