@@ -148,7 +148,7 @@ def _quant4_matmul_kernel(x_ref, p_ref, s_ref, o_ref):
                   * s_ref[...]).astype(o_ref.dtype)
 
 
-def _pick_block_n(k: int, n: int, budget_bytes: int = 4 << 20) -> int:
+def _pick_block_n(k: int, n: int, budget_bytes: int = 8 << 20) -> int:
     """Largest 128-multiple divisor of n whose VMEM need (packed block +
     two unpacked planes ≈ 1.5·k·bn bytes) fits the budget; whole-n if no
     such divisor exists (tiny test shapes)."""
