@@ -40,7 +40,8 @@ def main():
     p.add_argument("--spec-len", type=int, default=0,
                    help="speculative decoding: draft N tokens per slot by "
                         "prompt lookup, verify in one chunked forward "
-                        "(greedy only; exclusive with --decode-block>1)")
+                        "(greedy-exact; rejection-sampled at temperature>0; "
+                        "exclusive with --decode-block>1)")
     p.add_argument("--spec-ngram", type=int, default=3)
     p.add_argument("--tensor-parallel", type=int, default=1)
     p.add_argument("--bits", type=int, default=16, choices=[16, 8, 4],

@@ -95,10 +95,12 @@ class ServeEngine:
     # decode steps per host dispatch (lax.scan on-device). >1 amortizes the
     # per-call dispatch latency (~90 ms on a tunneled chip) over K tokens.
     decode_block: int = 1
-    # speculative decoding (greedy only): draft spec_len tokens per slot by
-    # prompt lookup (serve/speculative.py) and verify them in ONE chunked
+    # speculative decoding: draft spec_len tokens per slot by prompt
+    # lookup (serve/speculative.py) and verify them in ONE chunked
     # forward (models/setokim.py::verify_step) — each accepted draft saves a
-    # full weight-streaming decode step. Greedy verification is exact:
+    # full weight-streaming decode step. At temperature>0 drafts are
+    # rejection-sampled (speculative_sample) so emitted tokens follow the
+    # exact ancestral sampling distribution. Greedy verification is exact:
     # every emitted token is the argmax of a real model forward over its
     # own prefix. The stream can still differ from spec_len=0 at fp
     # near-ties (the (B, 1+D) verify forward tiles differently than the
@@ -178,14 +180,12 @@ class ServeEngine:
         if self.spec_len < 0:
             raise ValueError("spec_len must be >= 0")
         if self.spec_len > 0:
-            if self.temperature != 0.0:
-                raise ValueError("speculative decoding is greedy-exact; "
-                                 "temperature must be 0.0")
             if self.decode_block > 1:
                 raise ValueError("spec_len and decode_block>1 are exclusive "
                                  "amortizations — pick one")
             self._spec = jax.jit(
-                partial(self._spec_step_impl, self.model, self.pad_id),
+                partial(self._spec_step_impl, self.model, self.pad_id,
+                        self.temperature),
                 donate_argnums=(1, 2, 3))
         # admission prefills dispatch on a worker thread so the decode loop
         # never blocks on a prefill: the jitted call is pure (no engine
@@ -298,39 +298,49 @@ class ServeEngine:
         return cache, cache_valid, pos, cur_tok, toks, hiddens, act_in
 
     @staticmethod
-    def _spec_step_impl(model, pad_id, params, cache, cache_valid, pos,
-                        cur_tok, drafts, active, rng):
+    def _spec_step_impl(model, pad_id, temperature, params, cache,
+                        cache_valid, pos, cur_tok, drafts, active, rng):
         """One speculative dispatch: verify (B, 1+D) chunks, accept the
-        longest greedy-matching draft prefix, rewind the rest.
+        longest valid draft prefix, rewind the rest.
+
+        Greedy (temperature=0): accept drafts matching the argmax chain.
+        Sampling (temperature>0): rejection-sample against the verify
+        distributions (serve/speculative.speculative_sample) — emitted
+        tokens follow EXACTLY the ancestral sampling distribution.
 
         The trunk writes K/V for all 1+D inputs at each row's offset;
         afterwards `cache_valid` bits past the accepted prefix are cleared
         and `length`/`pos` advance by only the accepted count, so rejected
         entries are invalid and get overwritten by later appends. Returns
-        per-row emitted counts plus the (B, 1+D) true-token/hidden arrays
+        per-row emitted counts plus the (B, 1+D) out-token/hidden arrays
         the host attributes to slots (first `emit[b]` of each row).
-        `rng` is unused (greedy) but keeps the host call signature uniform.
         """
-        del rng
+        from setok_tpu.serve.speculative import speculative_sample
         b, d = drafts.shape
         tokens = jnp.concatenate([cur_tok[:, None], drafts], axis=1)
         old_len = cache.length
         logits, hidden, cache, cache_valid = model.apply(
             params, tokens, cache, cache_valid, pos,
             method=model.verify_step)
-        true_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, 1+D)
-        match = drafts == true_tok[:, :-1]
-        acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        if temperature == 0.0:
+            out_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            match = drafts == out_tok[:, :-1]
+            acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                          axis=1)
+        else:
+            probs = jax.nn.softmax(
+                logits.astype(jnp.float32) / temperature, axis=-1)
+            out_tok, acc = speculative_sample(probs, drafts, rng)
         emit = jnp.where(active, acc + 1, 0)
         t = d + 1
         rows = jnp.arange(b)[:, None]
         cols = old_len[:, None] + jnp.arange(t)[None, :]
         keep = jnp.arange(t)[None, :] < emit[:, None]
         cache_valid = cache_valid.at[rows, cols].set(keep, mode="drop")
-        nxt = jnp.take_along_axis(true_tok, acc[:, None], axis=1)[:, 0]
+        nxt = jnp.take_along_axis(out_tok, acc[:, None], axis=1)[:, 0]
         nxt = jnp.where(active, nxt, pad_id)
         return (KVCache(cache.k, cache.v, old_len + emit), cache_valid,
-                pos + emit, nxt, true_tok, hidden, emit)
+                pos + emit, nxt, out_tok, hidden, emit)
 
     # ------------------------------------------------------------------
     def submit(self, prompt_ids, image=None, max_new_tokens: int = 64,

@@ -440,12 +440,72 @@ def test_speculative_accepts_good_drafts(model_and_params, monkeypatch):
 
 def test_speculative_config_validation(model_and_params):
     model, params = model_and_params
-    with pytest.raises(ValueError, match="greedy"):
-        ServeEngine(model, params, max_batch=1, prompt_len=L, max_len=L + 8,
-                    spec_len=2, temperature=0.7)
     with pytest.raises(ValueError, match="exclusive"):
         ServeEngine(model, params, max_batch=1, prompt_len=L, max_len=L + 8,
                     spec_len=2, decode_block=4)
+
+
+def test_speculative_sampling_temperature(model_and_params):
+    """spec_len>0 with temperature>0 (rejection-sampled drafts): runs to
+    completion, respects budgets, and is reproducible — two identically
+    constructed engines emit identical streams (engine rng is seeded)."""
+    model, params = model_and_params
+    eos, pad, max_new, d = 2, 0, 6, 3
+    prompts, images = zip(*[make_prompt(s) for s in range(3)])
+    ml = L + max_new + d + 2
+
+    def run():
+        eng = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                          max_len=ml, eos_id=eos, pad_id=pad, spec_len=d,
+                          temperature=0.8)
+        reqs = [eng.submit(p, image=im, max_new_tokens=max_new)
+                for p, im in zip(prompts, images)]
+        eng.run()
+        return reqs
+
+    a, b = run(), run()
+    for ra, rb in zip(a, b):
+        assert ra.done and len(ra.tokens) <= max_new
+        assert ra.tokens == rb.tokens
+
+
+def test_speculative_sample_math():
+    """speculative_sample preserves the ancestral distribution: the first
+    emitted token's empirical marginal over many keys equals p_0 exactly
+    (rejection-sampling correctness), for a draft p_0 neither loves nor
+    excludes; degenerate cases: p_0=onehot(draft) always accepts, and
+    p_0(draft)=0 never accepts and samples from p_0 itself."""
+    import jax
+    from setok_tpu.serve.speculative import speculative_sample
+
+    v, d, n = 6, 2, 20000
+    p0 = np.asarray([0.3, 0.05, 0.25, 0.1, 0.2, 0.1], np.float32)
+    p_rest = np.full((v,), 1.0 / v, np.float32)
+    probs = jnp.asarray(np.stack([p0, p_rest, p_rest])[None])  # (1, 3, V)
+    drafts = jnp.asarray([[0, 3]], jnp.int32)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    out, acc = jax.vmap(lambda k: speculative_sample(probs, drafts, k))(keys)
+    first = np.asarray(out[:, 0, 0])
+    emp = np.bincount(first, minlength=v) / n
+    np.testing.assert_allclose(emp, p0, atol=0.02)
+
+    # p_0 = onehot(draft): always accepted
+    oh = np.zeros((v,), np.float32)
+    oh[0] = 1.0
+    probs_oh = jnp.asarray(np.stack([oh, p_rest, p_rest])[None])
+    _, acc2 = jax.vmap(lambda k: speculative_sample(probs_oh, drafts, k))(
+        jax.random.split(jax.random.PRNGKey(1), 500))
+    assert int(np.min(np.asarray(acc2[:, 0]))) >= 1
+
+    # p_0(draft) = 0: never accepted; first token ~ p_0 (residual = p_0)
+    pz = np.asarray([0.0, 0.2, 0.3, 0.1, 0.2, 0.2], np.float32)
+    probs_z = jnp.asarray(np.stack([pz, p_rest, p_rest])[None])
+    out3, acc3 = jax.vmap(lambda k: speculative_sample(probs_z, drafts, k))(
+        jax.random.split(jax.random.PRNGKey(2), n))
+    assert int(np.max(np.asarray(acc3[:, 0]))) == 0
+    emp3 = np.bincount(np.asarray(out3[:, 0, 0]), minlength=v) / n
+    np.testing.assert_allclose(emp3, pz, atol=0.02)
 
 
 def test_draft_prompt_lookup():
