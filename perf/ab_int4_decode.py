@@ -154,8 +154,24 @@ def run_shape(tag, b, k, n, block_n, block_n4=None):
     print(f"   int8_stream rel-err {err8:.2e} | w4 unpack rel-err "
           f"{err4:.2e} (vs own dequant refs)")
 
+    # production-path variants (kernels/quant_matmul.quant4_matmul):
+    # per-channel and per-group-128 scales. The grouped kernel splits each
+    # plane dot into G-deep slab dots + fp32 scale-accumulate — this
+    # measures what that costs on top of the same 22 MB weight stream.
+    from setok_tpu.kernels.quant_matmul import (
+        quant4_matmul, quantize_weight_int4 as q4_prod)
+    q4c = q4_prod(w)
+    q4g = q4_prod(w, group_size=128)
+
+    def w4a8_prod(xc):
+        return back(quant4_matmul(xc, q4c, block_n=block_n4))
+
+    def w4a8_g128(xc):
+        return back(quant4_matmul(xc, q4g, block_n=block_n4))
+
     variants = {"bf16": bf16, "int8_whole": int8_whole,
-                "int8_stream": int8_stream, "w4a8_stream": w4a8_stream}
+                "int8_stream": int8_stream, "w4a8_stream": w4a8_stream,
+                "w4a8_prod": w4a8_prod, "w4a8_g128": w4a8_g128}
     for name in list(variants):
         try:  # int8_whole's one-block weight (~44 MB) may not fit VMEM
             jax.block_until_ready(variants[name](x))
@@ -165,7 +181,8 @@ def run_shape(tag, b, k, n, block_n, block_n4=None):
             del variants[name]
     ms = device_time_ab(variants, (x,), iters=24)
     mb = {"bf16": k * n * 2, "int8_whole": k * n, "int8_stream": k * n,
-          "w4a8_stream": k * n // 2}
+          "w4a8_stream": k * n // 2, "w4a8_prod": k * n // 2,
+          "w4a8_g128": k * n // 2}
     for name, t in ms.items():
         bw = mb[name] / 1e9 / (t / 1e3)
         print(f"   {name:12s} {t:7.3f} ms/call   "

@@ -48,6 +48,10 @@ def main():
                    help="8/4 = int8/packed-int4-at-rest trunk (halves/"
                         "quarters decode weight traffic + memory; "
                         "reference load_8bit/load_4bit)")
+    p.add_argument("--quant-group", type=int, default=128,
+                   help="int4 scale group size along the input dim "
+                        "(0 = per-output-channel; 128 = GPTQ/AWQ-style, "
+                        "~2x lower RTN error)")
     p.add_argument("--tiny", action="store_true", default=True)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -98,10 +102,15 @@ def main():
                             jax.random.PRNGKey(1), method=model.init_all)
 
     if args.bits in (8, 4) and not args.checkpoint:
-        from setok_tpu.models.llama import quantize_trunk_weights
+        from setok_tpu.models.llama import (quantize_trunk_weights,
+                                            valid_quant_group)
         from setok_tpu.models.setokim import Setokim as _S
-        params = quantize_trunk_weights(params, bits=args.bits)
-        model = _S(cfg, target_token_id=3, weight_bits=args.bits)
+        gs = (valid_quant_group(cfg.llama, args.quant_group)
+              if args.bits == 4 else 0)
+        params = quantize_trunk_weights(params, bits=args.bits,
+                                        group_size=gs)
+        model = _S(cfg, target_token_id=3, weight_bits=args.bits,
+                   quant_group=gs)
 
     mesh = None
     if args.tensor_parallel > 1:

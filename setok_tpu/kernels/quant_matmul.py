@@ -101,22 +101,35 @@ class Quant4Weight(NamedTuple):
     Mosaic cannot lower the strided slices an interleaved packing would
     need)."""
     packed: jnp.ndarray    # (K//2, N) int8 — two nibbles per byte
-    scales: jnp.ndarray    # (1, N) float32 — per-output-channel
+    scales: jnp.ndarray    # (K//G or 1, N) float32 — per-group/-channel
 
 
-def quantize_weight_int4(w: jnp.ndarray) -> Quant4Weight:
-    """Per-output-channel symmetric int4 ([-7, 7]) quantization + packing.
+def quantize_weight_int4(w: jnp.ndarray,
+                         group_size: Optional[int] = None) -> Quant4Weight:
+    """Symmetric int4 ([-7, 7]) quantization + packing.
 
-    Round-to-nearest int4 costs ~7e-2 max-rel output error on LLaMA-shaped
-    linears (vs ~1e-2 at int8, perf/ab_int4_decode.py) — acceptable for
-    drafting/latency-first serving; calibrate offline if that matters.
-    """
+    Per-output-channel (group_size=None) round-to-nearest costs ~7e-2
+    max-rel output error on LLaMA-shaped linears (vs ~1e-2 at int8,
+    perf/ab_int4_decode.py). `group_size=G` gives each (G, 1) slab of the
+    input dim its own scale — the GPTQ/AWQ-standard remedy: outlier rows
+    no longer inflate the whole column's step. Scale rows are laid out to
+    match the nibble planes: row g scales logical K-rows [gG, (g+1)G),
+    so planes lo/hi consume scale rows [0, K/2G) and [K/2G, K/G)."""
     w = w.astype(jnp.float32)
     k = w.shape[0]
     assert k % 2 == 0, f"int4 packing needs even K, got {k}"
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
-                        1e-8) / 7.0
-    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+    if group_size is None:
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                            1e-8) / 7.0
+        q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+    else:
+        assert k % group_size == 0 and (k // 2) % group_size == 0, \
+            (k, group_size)
+        g = k // group_size
+        wg = w.reshape(g, group_size, -1)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-8) / 7.0
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+        q = q.reshape(k, -1).astype(jnp.int32)
     lo = q[: k // 2] & 0xF
     hi = (q[k // 2:] & 0xF) << 4
     return Quant4Weight(packed=(lo | hi).astype(jnp.int8),
@@ -132,20 +145,36 @@ def unpack_nibbles(p: jnp.ndarray):
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
-def _quant4_matmul_kernel(x_ref, p_ref, s_ref, o_ref):
+def _quant4_matmul_kernel(x_ref, p_ref, s_ref, o_ref, *, group_rows):
     x = x_ref[...].astype(jnp.float32)                  # (BM, K)
     xs = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
                      1e-8) / 127.0
     xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
     k_half = p_ref.shape[0]
     lo, hi = unpack_nibbles(p_ref[...])
-    acc = (jax.lax.dot_general(xq[:, :k_half], lo, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
-           + jax.lax.dot_general(xq[:, k_half:], hi,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32))
-    o_ref[...] = (acc.astype(jnp.float32) * xs
-                  * s_ref[...]).astype(o_ref.dtype)
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    if group_rows == 0:                     # one scale per output channel
+        acc = dot(xq[:, :k_half], lo) + dot(xq[:, k_half:], hi)
+        o_ref[...] = (acc.astype(jnp.float32) * xs
+                      * s_ref[...]).astype(o_ref.dtype)
+        return
+    # per-group: one int32 dot per (G-deep) slab, scaled into an fp32
+    # accumulator. The slab dots still run the MXU at the int8 rate; the
+    # extra VPU multiply-adds are noise next to the weight DMA this
+    # kernel pipelines.
+    s = s_ref[...]
+    n_half = k_half // group_rows
+    accf = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
+    for g in range(n_half):
+        sl = slice(g * group_rows, (g + 1) * group_rows)
+        a = dot(xq[:, :k_half][:, sl], lo[sl])
+        accf += a.astype(jnp.float32) * s[g:g + 1, :]
+    for g in range(n_half):
+        sl = slice(g * group_rows, (g + 1) * group_rows)
+        a = dot(xq[:, k_half:][:, sl], hi[sl])
+        accf += a.astype(jnp.float32) * s[n_half + g:n_half + g + 1, :]
+    o_ref[...] = (accf * xs).astype(o_ref.dtype)
 
 
 def _pick_block_n(k: int, n: int, budget_bytes: int = 8 << 20) -> int:
@@ -179,13 +208,15 @@ def quant4_matmul(x: jnp.ndarray, qw: Quant4Weight,
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     mp = x2.shape[0]
     bn = block_n or _pick_block_n(k, n)
+    n_scales = qw.scales.shape[0]
+    group_rows = 0 if n_scales == 1 else (k // 2) // (n_scales // 2)
 
     out = pl.pallas_call(
-        _quant4_matmul_kernel,
+        functools.partial(_quant4_matmul_kernel, group_rows=group_rows),
         grid=(mp // bm, n // bn),
         in_specs=[pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
                   pl.BlockSpec((k // 2, bn), lambda i, j: (0, j)),
-                  pl.BlockSpec((1, bn), lambda i, j: (0, j))],
+                  pl.BlockSpec((n_scales, bn), lambda i, j: (0, j))],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         interpret=interpret,
@@ -196,5 +227,11 @@ def quant4_matmul(x: jnp.ndarray, qw: Quant4Weight,
 def matmul4_reference(x, qw: Quant4Weight):
     """Dequantized reference (same weight error, exact activation math)."""
     lo, hi = unpack_nibbles(qw.packed)
-    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32) * qw.scales
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    g = qw.scales.shape[0]
+    if g == 1:
+        w = q * qw.scales
+    else:
+        rows = q.shape[0] // g
+        w = (q.reshape(g, rows, -1) * qw.scales[:, None, :]).reshape(q.shape)
     return x.astype(jnp.float32) @ w

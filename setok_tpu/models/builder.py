@@ -51,7 +51,8 @@ def load_pretrained_model(model_path: str,
                           target_token_id: int = 3,
                           pad_token_id: int = 0,
                           tiny: bool = False,
-                          bits: int = 16) -> Tuple[Setokim, Any]:
+                          bits: int = 16,
+                          quant_group: int = 128) -> Tuple[Setokim, Any]:
     """Returns (model, params). `model_path` may be:
       * an orbax checkpoint dir (restores Stage2State.params), or
       * '' / nonexistent → fresh init (weights then spliced from
@@ -105,10 +106,13 @@ def load_pretrained_model(model_path: str,
         params = merge_lora(params, lora_tree, lora_alpha, lora_r)
 
     if bits in (8, 4):
-        from setok_tpu.models.llama import quantize_trunk_weights
-        params = quantize_trunk_weights(params, bits=bits)
+        from setok_tpu.models.llama import (quantize_trunk_weights,
+                                            valid_quant_group)
+        gs = valid_quant_group(cfg.llama, quant_group) if bits == 4 else 0
+        params = quantize_trunk_weights(params, bits=bits, group_size=gs)
         model = Setokim(cfg, target_token_id=target_token_id,
-                        pad_token_id=pad_token_id, weight_bits=bits)
+                        pad_token_id=pad_token_id, weight_bits=bits,
+                        quant_group=gs)
     return model, params
 
 

@@ -80,7 +80,8 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                    length=jnp.zeros((), jnp.int32))
 
 
-def _dense_factory(weight_bits: int, dtype, param_dtype):
+def _dense_factory(weight_bits: int, dtype, param_dtype,
+                   quant_group: int = 0):
     """Trunk linear constructor for the weight-at-rest precision.
 
     16 → plain Dense; 8 → QuantDense (w8a8 kernel, reference `load_8bit`,
@@ -93,6 +94,7 @@ def _dense_factory(weight_bits: int, dtype, param_dtype):
     if weight_bits == 4:
         from setok_tpu.ops.blocks import Quant4Dense
         return lambda feats, name: Quant4Dense(feats, dtype=dtype,
+                                               quant_group=quant_group,
                                                name=name)
     assert weight_bits == 16, weight_bits
     return lambda feats, name: nn.Dense(feats, use_bias=False, dtype=dtype,
@@ -105,6 +107,7 @@ class LlamaAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False     # Pallas fused kernel (kernels/flash_attention)
     weight_bits: int = 16   # 8/4 = quantized-at-rest linears (ops/blocks)
+    quant_group: int = 0    # int4 group size (0 = per-output-channel)
     # Sequence parallelism: a (data, seq) Mesh routes prefill/training
     # attention through the K/V ring (parallel/ring_attention.py) with the
     # sequence sharded over SEQ_AXIS. mask may then be None (no global
@@ -122,7 +125,7 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, l, _ = x.shape
         dense = _dense_factory(self.weight_bits, self.dtype,
-                               self.param_dtype)
+                               self.param_dtype, self.quant_group)
         q = dense(cfg.num_heads * cfg.head_dim, "q_proj")(x)
         k = dense(cfg.num_kv_heads * cfg.head_dim, "k_proj")(x)
         v = dense(cfg.num_kv_heads * cfg.head_dim, "v_proj")(x)
@@ -211,12 +214,13 @@ class LlamaMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     weight_bits: int = 16
+    quant_group: int = 0
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         dense = _dense_factory(self.weight_bits, self.dtype,
-                               self.param_dtype)
+                               self.param_dtype, self.quant_group)
         gate = nn.silu(dense(cfg.intermediate_size, "gate_proj")(x))
         up = dense(cfg.intermediate_size, "up_proj")(x)
         return dense(cfg.hidden_size, "down_proj")(gate * up)
@@ -228,6 +232,7 @@ class LlamaBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     weight_bits: int = 16
+    quant_group: int = 0
     ring_mesh: Any = None
 
     @nn.compact
@@ -239,6 +244,7 @@ class LlamaBlock(nn.Module):
         h, new_cache = LlamaAttention(cfg, self.dtype, self.param_dtype,
                                       use_flash=self.use_flash,
                                       weight_bits=self.weight_bits,
+                                      quant_group=self.quant_group,
                                       ring_mesh=self.ring_mesh,
                                       name="attn")(h, mask, positions,
                                                    cache_kv, cache_length,
@@ -247,7 +253,8 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
                     name="post_attn_norm")(x)
         x = x + LlamaMLP(cfg, self.dtype, self.param_dtype,
-                         weight_bits=self.weight_bits, name="mlp")(h)
+                         weight_bits=self.weight_bits,
+                         quant_group=self.quant_group, name="mlp")(h)
         return x, new_cache
 
 
@@ -286,6 +293,7 @@ class LlamaModel(nn.Module):
     remat: bool = False
     use_flash: bool = False
     weight_bits: int = 16
+    quant_group: int = 0
     ring_mesh: Any = None
 
     @nn.compact
@@ -306,7 +314,7 @@ class LlamaModel(nn.Module):
             cache_len = cache.length if cache is not None else None
             x, updated = block_cls(cfg, self.dtype, self.param_dtype,
                                    self.use_flash, self.weight_bits,
-                                   self.ring_mesh,
+                                   self.quant_group, self.ring_mesh,
                                    name=f"layer_{i}")(x, mask, positions,
                                                       cache_kv, cache_len,
                                                       valid)
@@ -333,6 +341,7 @@ class LlamaForCausalLM(nn.Module):
     remat: bool = False
     use_flash: bool = False
     weight_bits: int = 16
+    quant_group: int = 0
     ring_mesh: Any = None
 
     def setup(self):
@@ -343,6 +352,7 @@ class LlamaForCausalLM(nn.Module):
         self.model = LlamaModel(cfg, self.dtype, self.param_dtype,
                                 remat=self.remat, use_flash=self.use_flash,
                                 weight_bits=self.weight_bits,
+                                quant_group=self.quant_group,
                                 ring_mesh=self.ring_mesh)
         if not cfg.tie_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
@@ -381,7 +391,21 @@ _TRUNK_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj",
                   "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_trunk_weights(params, bits: int = 8):
+def valid_quant_group(cfg, group_size: int) -> int:
+    """`group_size` if every trunk-linear input dim supports it (both the
+    full K and the K/2 nibble plane must divide), else 0 (per-channel).
+    Tiny test configs (hidden 64) always fall back."""
+    if group_size <= 0:
+        return 0
+    for k in (cfg.hidden_size, cfg.intermediate_size,
+              cfg.num_heads * cfg.head_dim):
+        if k % (2 * group_size) != 0:
+            return 0
+    return group_size
+
+
+def quantize_trunk_weights(params, bits: int = 8,
+                           group_size: int = 0):
     """Float LlamaForCausalLM params → the weight_bits={8,4} layout.
 
     Each trunk linear's {'kernel': (in, out) float} becomes, at bits=8,
@@ -402,7 +426,8 @@ def quantize_trunk_weights(params, bits: int = 8):
         if bits == 8:
             qw = quantize_weight(kernel)
             return {"q": qw.values, "s": qw.scales}
-        qw = quantize_weight_int4(kernel)
+        qw = quantize_weight_int4(kernel,
+                                  group_size=group_size or None)
         return {"p": qw.packed, "s": qw.scales}
 
     def walk(node):

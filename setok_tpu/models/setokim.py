@@ -72,6 +72,7 @@ class Setokim(nn.Module):
     remat: bool = False
     use_flash: bool = False                   # Pallas attention in the trunk
     weight_bits: int = 16                     # 8/4-at-rest trunk (serving)
+    quant_group: int = 0                      # int4 group size (0 = chan)
     # sequence-parallel training: a (data, seq) mesh routes trunk attention
     # through the K/V ring (parallel/ring_attention.py); the global (L, L)
     # attention mask is never materialized (long-context, SURVEY §5)
@@ -83,6 +84,7 @@ class Setokim(nn.Module):
                                       self.param_dtype, remat=self.remat,
                                       use_flash=self.use_flash,
                                       weight_bits=self.weight_bits,
+                                      quant_group=self.quant_group,
                                       ring_mesh=self.ring_mesh)
         self.vision_tower = SetokTokenizer(cfg.tokenizer,
                                            freeze_backbone=True,

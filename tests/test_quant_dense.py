@@ -109,3 +109,65 @@ def test_quantize_trunk_weights_int4_structure():
     lq = LlamaForCausalLM(cfg, weight_bits=4).apply(p_q, ids)[0]
     corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_quant4_grouped_oracle_and_error():
+    """Per-group (G=16) int4: kernel == grouped-dequant reference, and the
+    group scales measurably beat per-channel RTN error on weights with
+    per-row outliers (the regime real LLM linears live in)."""
+    from setok_tpu.kernels.quant_matmul import (matmul4_reference,
+                                                quant4_matmul,
+                                                quantize_weight_int4)
+    rs = np.random.RandomState(2)
+    w = rs.randn(64, 48).astype(np.float32) * 0.1
+    w[5] *= 12.0                 # outlier input rows inflate column scales
+    w[40] *= 9.0
+    w = jnp.asarray(w)
+    x = jnp.asarray(rs.randn(8, 64).astype(np.float32))
+
+    qg = quantize_weight_int4(w, group_size=16)
+    assert qg.scales.shape == (4, 48)
+    out = quant4_matmul(x, qg, interpret=True)
+    xs = np.maximum(np.max(np.abs(np.asarray(x)), -1, keepdims=True),
+                    1e-8) / 127.0
+    x8 = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+    ref = np.asarray(matmul4_reference(jnp.asarray(x8 * xs), qg))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    qc = quantize_weight_int4(w)     # per-channel baseline
+    exact = np.asarray(x) @ np.asarray(w)
+
+    def rms(q):
+        d = np.asarray(quant4_matmul(x, q, interpret=True)) - exact
+        return np.sqrt((d * d).mean()) / np.sqrt((exact * exact).mean())
+
+    ec, eg = rms(qc), rms(qg)
+    assert eg < 0.65 * ec, (ec, eg)
+
+
+def test_quant4_group_trunk_structure():
+    """quantize_trunk_weights(bits=4, group_size=G) matches the
+    quant_group-flagged module tree; valid_quant_group falls back for
+    non-dividing tiny dims."""
+    from setok_tpu import config as cfgs
+    from setok_tpu.models.llama import (LlamaForCausalLM,
+                                        quantize_trunk_weights,
+                                        valid_quant_group)
+    cfg = cfgs.tiny_llama()
+    assert valid_quant_group(cfg, 128) == 0        # hidden 64 can't
+    assert valid_quant_group(cfg, 16) == 16
+    ids = jnp.zeros((1, 4), jnp.int32)
+    p_f = LlamaForCausalLM(cfg).init(jax.random.PRNGKey(0), ids)
+    p_q = quantize_trunk_weights(p_f, bits=4, group_size=16)
+    p_ref = LlamaForCausalLM(cfg, weight_bits=4, quant_group=16).init(
+        jax.random.PRNGKey(0), ids)
+    assert (jax.tree_util.tree_structure(p_q)
+            == jax.tree_util.tree_structure(p_ref))
+    for a, b in zip(jax.tree_util.tree_leaves(p_q),
+                    jax.tree_util.tree_leaves(p_ref)):
+        assert a.shape == b.shape, (a.shape, b.shape)
+    lf = LlamaForCausalLM(cfg).apply(p_f, ids)[0]
+    lq = LlamaForCausalLM(cfg, weight_bits=4, quant_group=16).apply(
+        p_q, ids)[0]
+    corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
+    assert corr > 0.97, corr
