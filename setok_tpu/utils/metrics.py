@@ -39,6 +39,11 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray,
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
     win = _gaussian_kernel()[None, None, :, :]          # OIHW (1,1,11,11)
+    # cast UP FRONT: the x*x / x*y products below must run in f32 — for a
+    # bf16 input, squaring in bf16 then casting loses the low bits to
+    # cancellation in the xx/yy variance terms and visibly skews SSIM
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
 
     def filt(x):
         x = jnp.moveaxis(x.astype(jnp.float32), -1, 1)  # NCHW

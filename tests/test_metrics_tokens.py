@@ -19,6 +19,22 @@ def test_psnr_ssim_identity():
     assert float(psnr(x, noisy)) < 25
 
 
+def test_ssim_dtype_invariant():
+    """A bf16 input must score the same SSIM as its exact f32 upcast.
+
+    Regression: ssim() used to square bf16 inputs in bf16 before the f32
+    filter cast, so the xx/yy variance terms lost low bits to cancellation
+    and a bf16-precision eval scored a *different* (higher) SSIM than the
+    same pixels in f32 — precision sweeps compared metrics, not models."""
+    rs = np.random.RandomState(1)
+    tgt = jnp.asarray(rs.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    pred_bf16 = (tgt + 0.1 * jnp.asarray(
+        rs.randn(2, 32, 32, 3).astype(np.float32))).astype(jnp.bfloat16)
+    s_bf16 = float(ssim(pred_bf16, tgt))
+    s_f32 = float(ssim(pred_bf16.astype(jnp.float32), tgt))
+    np.testing.assert_allclose(s_bf16, s_f32, rtol=1e-6)
+
+
 def test_fid_zero_for_identical_and_positive_for_shifted():
     rs = np.random.RandomState(1)
     feats = rs.randn(500, 8)
