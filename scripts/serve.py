@@ -107,8 +107,9 @@ def main():
         from setok_tpu.models.setokim import Setokim as _S
         gs = (valid_quant_group(cfg.llama, args.quant_group)
               if args.bits == 4 else 0)
-        params = quantize_trunk_weights(params, bits=args.bits,
-                                        group_size=gs)
+        params = quantize_trunk_weights(
+            params, bits=args.bits, group_size=gs,
+            clip_search=8 if args.bits == 4 else 0)
         model = _S(cfg, target_token_id=3, weight_bits=args.bits,
                    quant_group=gs)
 

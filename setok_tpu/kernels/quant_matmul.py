@@ -21,6 +21,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 
@@ -105,7 +106,10 @@ class Quant4Weight(NamedTuple):
 
 
 def quantize_weight_int4(w: jnp.ndarray,
-                         group_size: Optional[int] = None) -> Quant4Weight:
+                         group_size: Optional[int] = None,
+                         clip_search: int = 0,
+                         row_weight: Optional[jnp.ndarray] = None
+                         ) -> Quant4Weight:
     """Symmetric int4 ([-7, 7]) quantization + packing.
 
     Per-output-channel (group_size=None) round-to-nearest costs ~7e-2
@@ -114,22 +118,47 @@ def quantize_weight_int4(w: jnp.ndarray,
     input dim its own scale — the GPTQ/AWQ-standard remedy: outlier rows
     no longer inflate the whole column's step. Scale rows are laid out to
     match the nibble planes: row g scales logical K-rows [gG, (g+1)G),
-    so planes lo/hi consume scale rows [0, K/2G) and [K/2G, K/G)."""
+    so planes lo/hi consume scale rows [0, K/2G) and [K/2G, K/G).
+
+    `clip_search=R` (R>0) refines each scale by trying R clip ratios in
+    [0.5, 1.0]·absmax and keeping the one minimizing the group's weighted
+    reconstruction error — absmax RTN wastes quantization steps on the
+    single largest entry, and clipping it trades its (bounded) error for
+    a finer step everywhere else. `row_weight` (K,) optionally weights
+    error rows by calibration second moments E[x_k²] (a diagonal-Hessian
+    / AWQ-style importance), so output-MSE — not weight-MSE — is what the
+    search minimizes. Offline cost: R extra quantize passes. The packed
+    layout and kernel are unchanged; reference: GPTQ/AWQ lineage, recast
+    as a vectorized scale search (no per-column Cholesky)."""
     w = w.astype(jnp.float32)
     k = w.shape[0]
     assert k % 2 == 0, f"int4 packing needs even K, got {k}"
     if group_size is None:
-        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
-                            1e-8) / 7.0
-        q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+        g, wg = 1, w.reshape(1, k, -1)
     else:
         assert k % group_size == 0 and (k // 2) % group_size == 0, \
             (k, group_size)
         g = k // group_size
         wg = w.reshape(g, group_size, -1)
-        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-8) / 7.0
-        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
-        q = q.reshape(k, -1).astype(jnp.int32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-8) / 7.0  # (g, N)
+    if clip_search:
+        dw = (jnp.ones((1, wg.shape[1], 1), jnp.float32)
+              if row_weight is None else
+              jnp.asarray(row_weight, jnp.float32).reshape(
+                  g, wg.shape[1], 1))
+        best_err = jnp.full(scale.shape, jnp.inf, jnp.float32)
+        best_scale = scale
+        for r in np.linspace(1.0, 0.5, clip_search):
+            s = scale * float(r)
+            q = jnp.clip(jnp.round(wg / s[:, None, :]), -7, 7)
+            err = jnp.sum(dw * (wg - q * s[:, None, :]) ** 2, axis=1)
+            best_scale = jnp.where(err < best_err, s, best_scale)
+            best_err = jnp.minimum(err, best_err)
+        scale = best_scale
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    q = q.reshape(k, -1).astype(jnp.int32)
+    if group_size is None:
+        scale = scale.reshape(1, -1)
     lo = q[: k // 2] & 0xF
     hi = (q[k // 2:] & 0xF) << 4
     return Quant4Weight(packed=(lo | hi).astype(jnp.int8),

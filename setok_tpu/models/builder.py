@@ -52,7 +52,8 @@ def load_pretrained_model(model_path: str,
                           pad_token_id: int = 0,
                           tiny: bool = False,
                           bits: int = 16,
-                          quant_group: int = 128) -> Tuple[Setokim, Any]:
+                          quant_group: int = 128,
+                          clip_search: int = 8) -> Tuple[Setokim, Any]:
     """Returns (model, params). `model_path` may be:
       * an orbax checkpoint dir (restores Stage2State.params), or
       * '' / nonexistent → fresh init (weights then spliced from
@@ -62,6 +63,9 @@ def load_pretrained_model(model_path: str,
     after all splicing/merging (quantize_trunk_weights) and the returned
     model has `weight_bits` set — the reference's `load_8bit`/`load_4bit`
     serving modes (builder.py:32-41) on the TPU w8a8/w4a8 kernels.
+    bits=4 scales are clip-searched by default (`clip_search=8` ratios;
+    0 = plain absmax RTN) — a one-time load cost that cuts int4 error,
+    see kernels/quant_matmul.quantize_weight_int4.
     """
     cfg = model_cfg or (cfgs.tiny_setokim() if tiny else cfgs.base_setokim())
     model = Setokim(cfg, target_token_id=target_token_id,
@@ -109,7 +113,9 @@ def load_pretrained_model(model_path: str,
         from setok_tpu.models.llama import (quantize_trunk_weights,
                                             valid_quant_group)
         gs = valid_quant_group(cfg.llama, quant_group) if bits == 4 else 0
-        params = quantize_trunk_weights(params, bits=bits, group_size=gs)
+        params = quantize_trunk_weights(
+            params, bits=bits, group_size=gs,
+            clip_search=clip_search if bits == 4 else 0)
         model = Setokim(cfg, target_token_id=target_token_id,
                         pad_token_id=pad_token_id, weight_bits=bits,
                         quant_group=gs)

@@ -405,7 +405,8 @@ def valid_quant_group(cfg, group_size: int) -> int:
 
 
 def quantize_trunk_weights(params, bits: int = 8,
-                           group_size: int = 0):
+                           group_size: int = 0,
+                           clip_search: int = 0):
     """Float LlamaForCausalLM params → the weight_bits={8,4} layout.
 
     Each trunk linear's {'kernel': (in, out) float} becomes, at bits=8,
@@ -427,7 +428,8 @@ def quantize_trunk_weights(params, bits: int = 8,
             qw = quantize_weight(kernel)
             return {"q": qw.values, "s": qw.scales}
         qw = quantize_weight_int4(kernel,
-                                  group_size=group_size or None)
+                                  group_size=group_size or None,
+                                  clip_search=clip_search)
         return {"p": qw.packed, "s": qw.scales}
 
     def walk(node):

@@ -171,3 +171,66 @@ def test_quant4_group_trunk_structure():
         p_q, ids)[0]
     corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
     assert corr > 0.97, corr
+
+
+def test_quant4_clip_search_reduces_error():
+    """clip_search picks per-group scales that beat absmax RTN in weighted
+    reconstruction error — and the packed layout stays kernel-compatible.
+
+    Heavy-tailed weights (student-t) are the regime where absmax wastes
+    steps on one outlier; clipping it buys a finer step for the rest."""
+    from setok_tpu.kernels.quant_matmul import (quant4_matmul,
+                                                quantize_weight_int4)
+    rs = np.random.RandomState(7)
+    w = jnp.asarray(rs.standard_t(4, size=(64, 48)).astype(np.float32)
+                    * 0.05)
+    x = jnp.asarray(rs.randn(8, 64).astype(np.float32))
+    exact = np.asarray(x) @ np.asarray(w)
+
+    def rms(q):
+        d = np.asarray(quant4_matmul(x, q, interpret=True)) - exact
+        return np.sqrt((d * d).mean()) / np.sqrt((exact * exact).mean())
+
+    for gs in (None, 16):
+        q_rtn = quantize_weight_int4(w, group_size=gs)
+        q_cs = quantize_weight_int4(w, group_size=gs, clip_search=8)
+        assert q_cs.packed.shape == q_rtn.packed.shape
+        assert q_cs.scales.shape == q_rtn.scales.shape
+        e_rtn, e_cs = rms(q_rtn), rms(q_cs)
+        assert e_cs < e_rtn, (gs, e_rtn, e_cs)
+    # weight-space reconstruction improves too (the search objective)
+    q_rtn = quantize_weight_int4(w, group_size=16)
+    q_cs = quantize_weight_int4(w, group_size=16, clip_search=8)
+    from setok_tpu.kernels.quant_matmul import matmul4_reference
+    eye = jnp.eye(64, dtype=jnp.float32)
+    w_rtn = np.asarray(matmul4_reference(eye, q_rtn))
+    w_cs = np.asarray(matmul4_reference(eye, q_cs))
+    err = lambda a: np.sqrt(((a - np.asarray(w)) ** 2).mean())
+    assert err(w_cs) < err(w_rtn)
+
+
+def test_quant4_clip_search_row_weight():
+    """row_weight steers the search: with importance mass on a row subset,
+    the weighted output error (== error on inputs living in that subspace)
+    beats the unweighted search on the same inputs."""
+    from setok_tpu.kernels.quant_matmul import (matmul4_reference,
+                                                quantize_weight_int4)
+    rs = np.random.RandomState(11)
+    w = jnp.asarray(rs.standard_t(4, size=(64, 48)).astype(np.float32)
+                    * 0.05)
+    # calibration activations: only the first 16 input dims carry energy
+    d = np.zeros((64,), np.float32)
+    d[:16] = 1.0
+    x = rs.randn(32, 64).astype(np.float32) * d[None, :]
+    exact = x @ np.asarray(w)
+
+    def out_rms(q):
+        got = np.asarray(matmul4_reference(jnp.asarray(x), q))
+        dd = got - exact
+        return np.sqrt((dd * dd).mean())
+
+    q_plain = quantize_weight_int4(w, group_size=16, clip_search=8)
+    q_cal = quantize_weight_int4(w, group_size=16, clip_search=8,
+                                 row_weight=jnp.asarray(d ** 2))
+    assert out_rms(q_cal) <= out_rms(q_plain) * 1.0001, \
+        (out_rms(q_plain), out_rms(q_cal))
