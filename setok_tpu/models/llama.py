@@ -406,7 +406,8 @@ def valid_quant_group(cfg, group_size: int) -> int:
 
 def quantize_trunk_weights(params, bits: int = 8,
                            group_size: int = 0,
-                           clip_search: int = 0):
+                           clip_search: int = 0,
+                           row_weights=None):
     """Float LlamaForCausalLM params → the weight_bits={8,4} layout.
 
     Each trunk linear's {'kernel': (in, out) float} becomes, at bits=8,
@@ -423,25 +424,30 @@ def quantize_trunk_weights(params, bits: int = 8,
     from collections.abc import Mapping
     assert bits in (8, 4), bits
 
-    def convert(kernel):
+    def convert(kernel, path):
         if bits == 8:
             qw = quantize_weight(kernel)
             return {"q": qw.values, "s": qw.scales}
+        rw = None
+        if row_weights:
+            from setok_tpu.serve.calibrate import lookup_row_weight
+            rw = lookup_row_weight(row_weights, path)
         qw = quantize_weight_int4(kernel,
                                   group_size=group_size or None,
-                                  clip_search=clip_search)
+                                  clip_search=clip_search,
+                                  row_weight=rw)
         return {"p": qw.packed, "s": qw.scales}
 
-    def walk(node):
+    def walk(node, path=()):
         if not isinstance(node, Mapping):
             return node
         out = {}
         for k, v in node.items():
             if (k in _TRUNK_LINEARS and isinstance(v, dict)
                     and "kernel" in v and getattr(v["kernel"], "ndim", 0) == 2):
-                out[k] = convert(v["kernel"])
+                out[k] = convert(v["kernel"], path + (k,))
             else:
-                out[k] = walk(v)
+                out[k] = walk(v, path + (k,))
         return out
 
     return walk(jax.tree_util.tree_map(lambda x: x, params))
