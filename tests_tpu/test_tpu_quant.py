@@ -1,0 +1,49 @@
+"""Real-chip quantized-serving checks: the Pallas w8a8/w4a8 kernels and
+the engine decode loop on actual TPU hardware (the CPU suite runs them in
+interpret mode only). Run with no other TPU process alive."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_quant4_matmul_matches_reference_on_chip():
+    from setok_tpu.kernels.quant_matmul import (matmul4_reference,
+                                                quant4_matmul,
+                                                quantize_weight_int4)
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(512, 256).astype(np.float32) * 0.05)
+    x = jnp.asarray(rs.randn(8, 512).astype(np.float32))
+    for kw in ({}, dict(group_size=128),
+               dict(group_size=128, clip_search=8)):
+        qw = quantize_weight_int4(w, **kw)
+        out = np.asarray(quant4_matmul(x, qw))
+        xs = np.maximum(np.max(np.abs(np.asarray(x)), -1, keepdims=True),
+                        1e-8) / 127.0
+        x8 = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+        ref = np.asarray(matmul4_reference(jnp.asarray(x8 * xs), qw))
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_serve_engine_bits4_decodes_on_chip():
+    from setok_tpu import config as cfgs
+    from setok_tpu.models.llama import quantize_trunk_weights
+    from setok_tpu.models.setokim import Setokim
+    from setok_tpu.serve import ServeEngine
+
+    cfg = cfgs.tiny_setokim()
+    model = Setokim(cfg, target_token_id=3)
+    ids0 = np.zeros((1, 16), np.int64)
+    ids0[0, :4] = [1, 17, 23, 9]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids0),
+                        method=lambda m, i: m.llama(i))
+    qp = quantize_trunk_weights(params, bits=4, group_size=0,
+                                clip_search=4)
+    m4 = Setokim(cfg, target_token_id=3, weight_bits=4)
+    eng = ServeEngine(m4, qp, max_batch=2, prompt_len=16, max_len=48,
+                      eos_id=-1, pad_id=0)
+    reqs = [eng.submit(ids0[0], max_new_tokens=8) for _ in range(2)]
+    eng.run()
+    for r in reqs:
+        assert len(r.tokens) == 8
+        assert all(isinstance(t, int) for t in r.tokens)
