@@ -71,13 +71,25 @@ class KVCache(NamedTuple):
     v: jnp.ndarray
     length: jnp.ndarray   # () int32 — filled positions ((B,) per-slot
                           # write offsets in serving/continuous batching)
+    # int8 cache (k/v dtype int8): per-written-token symmetric scales,
+    # (layers, B, max_len, kv_heads) f32. Decode attention is
+    # cache-READ-bandwidth-bound (engine.py cache_dtype note), so cache
+    # bytes set its speed: int8+scales is ~51% of bf16 traffic. None for
+    # float caches.
+    k_scale: Any = None
+    v_scale: Any = None
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    # distinct buffers (not one aliased array): donated caches may not
+    # contain the same buffer twice
+    sc = (lambda: jnp.zeros(shape[:-1], jnp.float32)) \
+        if dtype == jnp.int8 else (lambda: None)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((), jnp.int32))
+                   length=jnp.zeros((), jnp.int32),
+                   k_scale=sc(), v_scale=sc())
 
 
 def _dense_factory(weight_bits: int, dtype, param_dtype,
@@ -139,7 +151,21 @@ class LlamaAttention(nn.Module):
 
         new_cache_kv = None
         if cache_kv is not None:
-            ck, cv = cache_kv
+            ck, cv, cks, cvs = cache_kv
+            quant_cache = ck.dtype == jnp.int8
+            if quant_cache:
+                # int8 cache: symmetric per-token-per-head scales written
+                # beside the data. Decode reads are what the cache costs
+                # (B·S·layers·2·kv·dh bytes/token) — int8 halves them;
+                # the dequant multiply fuses into the attention dots.
+                ksc = jnp.maximum(jnp.max(jnp.abs(k), -1), 1e-8) / 127.0
+                vsc = jnp.maximum(jnp.max(jnp.abs(v), -1), 1e-8) / 127.0
+                kw = jnp.clip(jnp.round(k / ksc[..., None]),
+                              -127, 127).astype(jnp.int8)
+                vw = jnp.clip(jnp.round(v / vsc[..., None]),
+                              -127, 127).astype(jnp.int8)
+            else:
+                kw, vw = k.astype(ck.dtype), v.astype(cv.dtype)
             start = cache_length
             if getattr(start, "ndim", 0) == 1:
                 # per-row write columns (serving/continuous batching: each
@@ -149,15 +175,25 @@ class LlamaAttention(nn.Module):
                 s_max = ck.shape[1] - l
                 rows = jnp.arange(b)[:, None]
                 cols = jnp.minimum(start, s_max)[:, None] + jnp.arange(l)
-                ck = ck.at[rows, cols].set(k.astype(ck.dtype))
-                cv = cv.at[rows, cols].set(v.astype(cv.dtype))
+                ck = ck.at[rows, cols].set(kw)
+                cv = cv.at[rows, cols].set(vw)
+                if quant_cache:
+                    cks = cks.at[rows, cols].set(ksc)
+                    cvs = cvs.at[rows, cols].set(vsc)
             else:
-                ck = jax.lax.dynamic_update_slice(
-                    ck, k.astype(ck.dtype), (0, start, 0, 0))
-                cv = jax.lax.dynamic_update_slice(
-                    cv, v.astype(cv.dtype), (0, start, 0, 0))
-            k, v = ck.astype(self.dtype), cv.astype(self.dtype)
-            new_cache_kv = (ck, cv)
+                ck = jax.lax.dynamic_update_slice(ck, kw, (0, start, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vw, (0, start, 0, 0))
+                if quant_cache:
+                    cks = jax.lax.dynamic_update_slice(
+                        cks, ksc, (0, start, 0))
+                    cvs = jax.lax.dynamic_update_slice(
+                        cvs, vsc, (0, start, 0))
+            if quant_cache:
+                k = ck.astype(self.dtype) * cks[..., None].astype(self.dtype)
+                v = cv.astype(self.dtype) * cvs[..., None].astype(self.dtype)
+            else:
+                k, v = ck.astype(self.dtype), cv.astype(self.dtype)
+            new_cache_kv = (ck, cv, cks, cvs)
 
         groups = cfg.num_heads // cfg.num_kv_heads
         if groups > 1:
@@ -307,10 +343,15 @@ class LlamaModel(nn.Module):
         block_cls = LlamaBlock
         if self.remat and cache is None:
             block_cls = nn.remat(LlamaBlock, static_argnums=())
-        new_k, new_v = [], []
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for i in range(cfg.num_layers):
-            cache_kv = ((cache.k[i], cache.v[i])
-                        if cache is not None else None)
+            cache_kv = None
+            if cache is not None:
+                cache_kv = (cache.k[i], cache.v[i],
+                            None if cache.k_scale is None
+                            else cache.k_scale[i],
+                            None if cache.v_scale is None
+                            else cache.v_scale[i])
             cache_len = cache.length if cache is not None else None
             x, updated = block_cls(cfg, self.dtype, self.param_dtype,
                                    self.use_flash, self.weight_bits,
@@ -321,14 +362,21 @@ class LlamaModel(nn.Module):
             if updated is not None:
                 new_k.append(updated[0])
                 new_v.append(updated[1])
+                new_ks.append(updated[2])
+                new_vs.append(updated[3])
         x = RMSNorm(cfg.rms_norm_eps, self.dtype, self.param_dtype,
                     name="final_norm")(x)
         new_cache = None
         if cache is not None:
+            quant = new_ks and new_ks[0] is not None
             new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
                                 length=cache.length
                                 + jnp.asarray(inputs_embeds.shape[1],
-                                              jnp.int32))
+                                              jnp.int32),
+                                k_scale=(jnp.stack(new_ks) if quant
+                                         else None),
+                                v_scale=(jnp.stack(new_vs) if quant
+                                         else None))
         return x, new_cache
 
 

@@ -128,9 +128,13 @@ class ServeEngine:
         b, s = self.max_batch, self.max_len
         cfg = self.model.cfg.llama
         kv_shape = (cfg.num_layers, b, s, cfg.num_kv_heads, cfg.head_dim)
+        # distinct buffers — a donated cache may not alias k_scale/v_scale
+        sc = ((lambda: jnp.zeros(kv_shape[:-1], jnp.float32))
+              if self.cache_dtype == jnp.int8 else (lambda: None))
         self._cache = KVCache(k=jnp.zeros(kv_shape, self.cache_dtype),
                               v=jnp.zeros(kv_shape, self.cache_dtype),
-                              length=jnp.zeros((b,), jnp.int32))
+                              length=jnp.zeros((b,), jnp.int32),
+                              k_scale=sc(), v_scale=sc())
         self._cache_valid = jnp.zeros((b, s), bool)
         if self.mesh is not None:
             from setok_tpu.parallel.mesh import MODEL_AXIS
@@ -144,10 +148,15 @@ class ServeEngine:
             kv_sh = NamedSharding(self.mesh,
                                   P(None, None, None, kv_axis, None))
             rep = NamedSharding(self.mesh, P())
+            sc_sh = NamedSharding(self.mesh, P(None, None, None, kv_axis))
+            put_sc = (lambda s: None if s is None
+                      else jax.device_put(s, sc_sh))
             self._cache = KVCache(k=jax.device_put(self._cache.k, kv_sh),
                                   v=jax.device_put(self._cache.v, kv_sh),
                                   length=jax.device_put(self._cache.length,
-                                                        rep))
+                                                        rep),
+                                  k_scale=put_sc(self._cache.k_scale),
+                                  v_scale=put_sc(self._cache.v_scale))
             self._cache_valid = jax.device_put(self._cache_valid, rep)
         self._pos = jnp.zeros((b,), jnp.int32)
         self._cur_tok = jnp.full((b,), self.pad_id, jnp.int32)
@@ -232,6 +241,12 @@ class ServeEngine:
                                          (0, slot, 0, 0, 0))
         v = jax.lax.dynamic_update_slice(cache.v, row_cache.v,
                                          (0, slot, 0, 0, 0))
+        ks = vs = None
+        if cache.k_scale is not None:
+            ks = jax.lax.dynamic_update_slice(
+                cache.k_scale, row_cache.k_scale, (0, slot, 0, 0))
+            vs = jax.lax.dynamic_update_slice(
+                cache.v_scale, row_cache.v_scale, (0, slot, 0, 0))
         length = jax.lax.dynamic_update_slice(
             cache.length, row_cache.length[None].astype(jnp.int32), (slot,))
         cache_valid = jax.lax.dynamic_update_slice(cache_valid, row_valid,
@@ -239,7 +254,8 @@ class ServeEngine:
         pos = jax.lax.dynamic_update_slice(pos, row_pos.astype(jnp.int32),
                                            (slot,))
         cur_tok = jax.lax.dynamic_update_slice(cur_tok, row_tok, (slot,))
-        return KVCache(k, v, length), cache_valid, pos, cur_tok
+        return (KVCache(k, v, length, k_scale=ks, v_scale=vs),
+                cache_valid, pos, cur_tok)
 
     @staticmethod
     def _step_impl(model, temperature, pad_id, params, cache, cache_valid,
@@ -257,7 +273,7 @@ class ServeEngine:
         # cache writes stay pinned and droppable
         pos = jnp.where(active, pos + 1, pos)
         length = jnp.where(active, cache.length, cache.length - 1)
-        return (KVCache(cache.k, cache.v, length), cache_valid, pos,
+        return (cache._replace(length=length), cache_valid, pos,
                 nxt, hidden)
 
     @staticmethod
@@ -287,7 +303,7 @@ class ServeEngine:
             new_pos = jnp.where(active, pos + 1, pos)
             length = jnp.where(active, cache.length, cache.length - 1)
             new_active = active & (nxt != eos_id) & (new_pos < max_len - 1)
-            carry = (KVCache(cache.k, cache.v, length), cache_valid,
+            carry = (cache._replace(length=length), cache_valid,
                      new_pos, nxt, new_active)
             return carry, (nxt, hidden, active)
 
@@ -339,7 +355,7 @@ class ServeEngine:
         cache_valid = cache_valid.at[rows, cols].set(keep, mode="drop")
         nxt = jnp.take_along_axis(out_tok, acc[:, None], axis=1)[:, 0]
         nxt = jnp.where(active, nxt, pad_id)
-        return (KVCache(cache.k, cache.v, old_len + emit), cache_valid,
+        return (cache._replace(length=old_len + emit), cache_valid,
                 pos + emit, nxt, out_tok, hidden, emit)
 
     # ------------------------------------------------------------------
@@ -409,7 +425,11 @@ class ServeEngine:
                 # by every prefilled row
                 rc = KVCache(k=row_cache.k[:, i:i + 1],
                              v=row_cache.v[:, i:i + 1],
-                             length=row_cache.length)
+                             length=row_cache.length,
+                             k_scale=(None if row_cache.k_scale is None
+                                      else row_cache.k_scale[:, i:i + 1]),
+                             v_scale=(None if row_cache.v_scale is None
+                                      else row_cache.v_scale[:, i:i + 1]))
                 (self._cache, self._cache_valid, self._pos,
                  self._cur_tok) = self._insert(
                     self._cache, self._cache_valid, self._pos,
