@@ -52,6 +52,9 @@ def main():
                    help="int4 scale group size along the input dim "
                         "(0 = per-output-channel; 128 = GPTQ/AWQ-style, "
                         "~2x lower RTN error)")
+    p.add_argument("--kv-bits", type=int, default=16, choices=[16, 8],
+                   help="8 = int8 KV cache (per-token scales; ~51% of "
+                        "bf16 decode cache-read traffic at long context)")
     p.add_argument("--tiny", action="store_true", default=True)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -120,9 +123,12 @@ def main():
         mesh = make_mesh(cfgs.MeshConfig(
             data=n // args.tensor_parallel, model=args.tensor_parallel))
 
+    import jax.numpy as jnp
     eng = ServeEngine(model, params, max_batch=args.max_batch,
                       prompt_len=args.prompt_len, max_len=args.max_len,
                       temperature=args.temperature, mesh=mesh,
+                      cache_dtype=(jnp.int8 if args.kv_bits == 8
+                                   else jnp.bfloat16),
                       decode_block=args.decode_block,
                       spec_len=args.spec_len, spec_ngram=args.spec_ngram,
                       eos_id=getattr(tok, "eos_token_id", 2),

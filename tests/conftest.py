@@ -21,6 +21,22 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _purge_jax_caches_per_module():
+    """Drop compiled-executable / tracing caches between test modules.
+
+    The whole-suite single process otherwise accumulates every module's
+    jitted executables and their pinned buffers; by the time the heavy
+    long-context tests run (~66% through, alphabetical), the transient
+    backward-pass peak on top of that residue SIGABRTs the process
+    (reproduced twice at tests/test_ring_attention.py). Per-module
+    recompiles are cheap — modules share almost no jit objects."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()

@@ -77,3 +77,24 @@ def test_serve_engine_int8_cache_with_speculation():
     eng.run()
     for r in reqs:
         assert len(r.tokens) == 8
+
+
+def test_tp_sharded_int8_cache_matches_single_device():
+    """TP mesh + int8 cache: the k_scale/v_scale buffers get their own
+    (kv-head-sharded) NamedSharding at engine init and ride the slot
+    insert/decode paths; tokens must match the unsharded int8 engine."""
+    from setok_tpu import config as cfgs_
+    from setok_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params, ids0 = _model_and_params()
+    outs = []
+    for mesh in (None, make_mesh(cfgs_.MeshConfig(data=4, model=2))):
+        eng = ServeEngine(model, params, max_batch=2, prompt_len=12,
+                          max_len=32, eos_id=-1, pad_id=0,
+                          cache_dtype=jnp.int8, mesh=mesh)
+        reqs = [eng.submit(ids0[i], max_new_tokens=6) for i in range(2)]
+        eng.run()
+        assert eng._cache.k.dtype == jnp.int8
+        assert eng._cache.k_scale is not None
+        outs.append([list(r.tokens) for r in reqs])
+    assert outs[0] == outs[1], outs
