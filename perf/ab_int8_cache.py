@@ -2,16 +2,14 @@
 
 The int8 trunk (bits=8) shrank decode WEIGHT traffic; at long context the
 other HBM stream takes over — every decode step re-reads the whole KV
-cache (layers · B · S · kv_heads · head_dim · 2 tensors). At the shapes
-below the bf16 cache read is ~1.07 GB/step vs ~103 MB of int8 weights, so
-cache bytes set the step time and cache_dtype=int8 (per-token scales,
-models/llama.py KVCache) should approach a 2x cut of the dominant term.
+cache (layers · B · S · kv_heads · head_dim · 2 tensors). At the default
+shapes below the bf16 cache read is ~1.0 GB/step vs ~103 MB of int8
+weights, so cache bytes set the step time and cache_dtype=int8
+(per-token scales, models/llama.py KVCache) should approach a 2x cut of
+the dominant term.
 
-Shapes: 8-layer h=1024 trunk (weights int8), B=8 slots, cache S=4096
-prefilled to ~4000 tokens — decode reads ~98% of the cache every step.
-
-  bf16_cache : 1.07 GB cache read / step
-  int8_cache : 0.54 GB + 17 MB scales / step
+Defaults: 8-layer h=1024 trunk (weights int8), B=8 slots, cache S=4096
+prefilled to ~3968 tokens — decode reads ~97% of the cache every step.
 
 Run ON THE TPU: python perf/ab_int8_cache.py [--iters 24]
 Wall clocks jitter through the tunnel; device time from the profiler
@@ -39,68 +37,78 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=4096)
     ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from setok_tpu import config as cfgs
-    from setok_tpu.models.llama import (LlamaModel, init_cache,
-                                        quantize_trunk_weights)
+    from setok_tpu.models.llama import quantize_trunk_weights
+    from setok_tpu.models.setokim import Setokim
 
-    cfg = cfgs.LlamaConfig(vocab_size=8192, hidden_size=1024,
-                           intermediate_size=2816, num_layers=args.layers,
-                           num_heads=8, num_kv_heads=8, head_dim=128,
-                           max_seq_len=args.seq)
+    h = args.hidden
+    llama = cfgs.LlamaConfig(vocab_size=8192, hidden_size=h,
+                             intermediate_size=int(2.75 * h),
+                             num_layers=args.layers,
+                             num_heads=h // 128, num_kv_heads=h // 128,
+                             head_dim=128, max_seq_len=args.seq)
+    tok = cfgs.tiny_tokenizer()
+    det = cfgs.tiny_detokenizer()
+    diff = cfgs.DiffLossConfig(target_channels=tok.token_feat_dim,
+                               z_channels=det.token_feat_dim, width=32,
+                               depth=1, num_sampling_steps="4",
+                               diffusion_batch_mul=2)
+    cfg = cfgs.SetokimConfig(llama=llama, tokenizer=tok, detokenizer=det,
+                             diffloss=diff, target_num=tok.k_max)
     B, S = args.batch, args.seq
-    fill = S - args.iters - 8
-    cache_gb = (args.layers * B * S * cfg.num_kv_heads * cfg.head_dim
+    fill = max(32, S - args.iters - 64)
+    cache_gb = (args.layers * B * S * llama.num_kv_heads * llama.head_dim
                 * 2 * 2) / 2**30
     print(f"cache read/step: bf16 {cache_gb:.2f} GB, "
           f"int8 {cache_gb/2:.2f} GB (+scales)", flush=True)
 
-    model = LlamaModel(cfg, dtype=jnp.bfloat16, weight_bits=8)
+    model = Setokim(cfg, target_token_id=3, weight_bits=8)
     ids0 = np.ones((B, 16), np.int64)
     params = quantize_trunk_weights(
-        LlamaModel(cfg, dtype=jnp.bfloat16).init(
-            jax.random.PRNGKey(0), jnp.asarray(ids0)), bits=8)
+        Setokim(cfg, target_token_id=3).init(
+            jax.random.PRNGKey(0), jnp.asarray(ids0),
+            method=lambda m, i: m.llama(i)), bits=8)
+    print("init done", flush=True)
 
-    # prefill once per variant: write `fill` tokens of junk K/V so decode
-    # reads a nearly full cache
+    ids = jnp.asarray(np.random.RandomState(0)
+                      .randint(1, 8000, size=(B, fill)))
+
     chains = {}
     for name, cdt in (("bf16_cache", jnp.bfloat16), ("int8_cache", jnp.int8)):
-        cache = init_cache(cfg, B, S, dtype=cdt)
-        chunk = 512
-        emb = jax.jit(lambda p, i, c: model.apply(p, i, cache=c)[1],
-                      donate_argnums=(2,))
-        ids = jnp.asarray(np.random.RandomState(0)
-                          .randint(1, 8000, size=(B, chunk)))
-        for _ in range(fill // chunk):
-            cache = emb(params, ids, cache)
+        logits, _, cache, valid, pos = jax.jit(
+            lambda p, i, _dt=cdt: model.apply(
+                p, i, S, cache_dtype=_dt, method=model.prefill_text)
+        )(params, ids)
+        next_pos = jnp.sum(valid.astype(jnp.int32), axis=1)
         print(f"{name}: prefilled to {int(cache.length)}", flush=True)
 
-        def step(tok, c, _model=model, _p=params):
-            x, nc = _model.apply(_p, tok, cache=c)
-            return jnp.argmax(x[:, -1:], -1).astype(tok.dtype), nc
-
-        def chained(tok, c, _step=step):
+        def chained(tok0, c, cv, npos, _p=params):
             def body(carry, _):
-                t, cc = carry
-                return _step(t, cc), ()
-            (t, cc), _ = jax.lax.scan(body, (tok, c), None,
-                                      length=args.iters)
+                t, cc, v, np_ = carry
+                lg, _, cc, v = model.apply(_p, t, cc, v, np_,
+                                           method=model.decode_step)
+                t = jnp.argmax(lg, -1).astype(t.dtype)[:, None]
+                return (t, cc, v, np_ + 1), ()
+            (t, cc, v, np_), _ = jax.lax.scan(
+                body, (tok0, c, cv, npos), None, length=args.iters)
             return t, cc.length
         chained.__name__ = f"chain_{name}"
         jitted = jax.jit(chained)
-        tok0 = jnp.ones((B, 1), jnp.int32)
-        jax.block_until_ready(jitted(tok0, cache))          # compile+warm
-        chains[name] = (jitted, tok0, cache)
+        tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        jax.block_until_ready(jitted(tok0, cache, valid, next_pos))
+        chains[name] = (jitted, (tok0, cache, valid, next_pos))
 
     trace_dir = "/tmp/trace_ab_cache"
     shutil.rmtree(trace_dir, ignore_errors=True)
     with jax.profiler.trace(trace_dir):
-        for name, (fn, tok0, cache) in chains.items():
-            jax.block_until_ready(fn(tok0, cache))
+        for name, (fn, a) in chains.items():
+            jax.block_until_ready(fn(*a))
     per = _trace_device_ms(trace_dir, list(chains))
     git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
