@@ -98,3 +98,19 @@ def test_tp_sharded_int8_cache_matches_single_device():
         assert eng._cache.k_scale is not None
         outs.append([list(r.tokens) for r in reqs])
     assert outs[0] == outs[1], outs
+
+
+def test_decode_block_int8_cache_matches_single_step():
+    """decode_block (K on-device steps per dispatch) over an int8 cache:
+    the blocked scan carries the quantized cache + scales through
+    _replace; tokens must match the single-step int8 engine."""
+    cfg, model, params, ids0 = _model_and_params()
+    outs = []
+    for blk in (1, 3):
+        eng = ServeEngine(model, params, max_batch=2, prompt_len=12,
+                          max_len=40, eos_id=-1, pad_id=0,
+                          cache_dtype=jnp.int8, decode_block=blk)
+        reqs = [eng.submit(ids0[i], max_new_tokens=8) for i in range(2)]
+        eng.run()
+        outs.append([list(r.tokens) for r in reqs])
+    assert outs[0] == outs[1], outs
