@@ -77,3 +77,41 @@ def test_resize_token_embeddings():
     np.testing.assert_allclose(emb[10:], old.mean(0, keepdims=True)
                                .repeat(3, 0), rtol=1e-6)
     np.testing.assert_allclose(emb[:10], old)
+
+
+def test_ssim_matches_float64_oracle():
+    """jax ssim == a float64 numpy transcription of the same formula.
+
+    Regression for the backend-precision skew: at default conv precision
+    the TPU MXU ran the 11x11 gaussian filter in bf16 passes, so the
+    filt(x*x) - mu^2 variance terms cancelled into noise and fp32 SSIM
+    measured 0.22 where the true value was 0.36 (identical pixels, PSNR
+    equal to 4 decimals). The f64 oracle catches that on any backend."""
+    from scipy.signal import convolve2d
+
+    rs = np.random.RandomState(7)
+    tgt = rs.rand(2, 32, 32, 3).astype(np.float64) * 2 - 1
+    pred = tgt + 0.25 * rs.randn(2, 32, 32, 3)
+
+    x = np.arange(11, dtype=np.float64) - 5.0
+    g = np.exp(-(x ** 2) / (2 * 1.5 ** 2))
+    g = g / g.sum()
+    win = g[:, None] * g[None, :]
+
+    def filt(a):
+        return np.stack([np.stack(
+            [convolve2d(a[b, :, :, c], win[::-1, ::-1], mode="valid")
+             for c in range(a.shape[-1])], -1)
+            for b in range(a.shape[0])])
+
+    c1, c2 = (0.01 * 2.0) ** 2, (0.03 * 2.0) ** 2
+    mu_x, mu_y = filt(pred), filt(tgt)
+    xx = filt(pred * pred) - mu_x ** 2
+    yy = filt(tgt * tgt) - mu_y ** 2
+    xy = filt(pred * tgt) - mu_x * mu_y
+    want = np.mean(((2 * mu_x * mu_y + c1) * (2 * xy + c2))
+                   / ((mu_x ** 2 + mu_y ** 2 + c1) * (xx + yy + c2)))
+
+    got = float(ssim(jnp.asarray(pred, jnp.float32),
+                     jnp.asarray(tgt, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)

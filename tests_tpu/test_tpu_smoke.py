@@ -68,3 +68,24 @@ def test_optimizer_host_offload_on_tpu():
                                float(m_off["total_loss"]), rtol=5e-3)
     leaf = jax.tree_util.tree_leaves(s_off.gen_opt_state)[1]
     assert leaf.sharding.memory_kind == "pinned_host"
+
+
+def test_ssim_tpu_matches_cpu_value():
+    """SSIM computed on the TPU must match the same pixels on CPU.
+
+    Regression: at default conv precision the MXU ran the gaussian window
+    in bf16 passes and the variance terms cancelled — fp32 SSIM read 0.22
+    on the chip vs the true 0.36 (utils/metrics.py precision=HIGHEST)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from setok_tpu.utils.metrics import ssim
+
+    rs = np.random.RandomState(11)
+    tgt = rs.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    pred = (tgt + 0.25 * rs.randn(2, 64, 64, 3)).astype(np.float32)
+    on_tpu = float(ssim(jnp.asarray(pred), jnp.asarray(tgt)))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        on_cpu = float(ssim(jnp.asarray(pred), jnp.asarray(tgt)))
+    np.testing.assert_allclose(on_tpu, on_cpu, rtol=1e-4)
