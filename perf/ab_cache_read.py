@@ -65,6 +65,15 @@ def main():
     k4 = np.clip(np.round(kf / ks4[..., None]), -7, 7).astype(np.int8)
     v4 = np.clip(np.round(vf / vs4[..., None]), -7, 7).astype(np.int8)
 
+    # grouped int4: G scales per head-dim (finer than per-token-per-head)
+    G = 32
+    kg = kf.reshape(B, S, H, D // G, G)
+    vg = vf.reshape(B, S, H, D // G, G)
+    ks4g = np.maximum(np.abs(kg).max(-1), 1e-8) / 7.0
+    vs4g = np.maximum(np.abs(vg).max(-1), 1e-8) / 7.0
+    k4g = np.clip(np.round(kg / ks4g[..., None]), -7, 7).astype(np.int8)
+    v4g = np.clip(np.round(vg / vs4g[..., None]), -7, 7).astype(np.int8)
+
     def pack(x):                       # (..., D) int4-valued → (..., D//2)
         lo, hi = x[..., 0::2], x[..., 1::2]
         return ((hi.astype(np.int32) << 4)
@@ -82,6 +91,9 @@ def main():
     ks8j, vs8j = jnp.asarray(ks8), jnp.asarray(vs8)
     k4j, v4j = jnp.asarray(pack(k4)), jnp.asarray(pack(v4))
     ks4j, vs4j = jnp.asarray(ks4), jnp.asarray(vs4)
+    k4gj = jnp.asarray(pack(k4g.reshape(B, S, H, D)))
+    v4gj = jnp.asarray(pack(v4g.reshape(B, S, H, D)))
+    ks4gj, vs4gj = jnp.asarray(ks4g), jnp.asarray(vs4g)
 
     def f_bf16(q):
         return attn(q, kb, vb)
@@ -98,8 +110,15 @@ def main():
              * vs4j[..., None].astype(jnp.bfloat16))
         return attn(q, k, v)
 
-    ms = device_time_ab({"bf16": f_bf16, "int8": f_int8, "int4": f_int4},
-                        (q,), iters=args.iters)
+    def f_int4g(q):
+        k = (unpack(k4gj).reshape(B, S, H, D // G, G).astype(jnp.bfloat16)
+             * ks4gj[..., None].astype(jnp.bfloat16)).reshape(B, S, H, D)
+        v = (unpack(v4gj).reshape(B, S, H, D // G, G).astype(jnp.bfloat16)
+             * vs4gj[..., None].astype(jnp.bfloat16)).reshape(B, S, H, D)
+        return attn(q, k, v)
+
+    ms = device_time_ab({"bf16": f_bf16, "int8": f_int8, "int4": f_int4,
+                         "int4_g32": f_int4g}, (q,), iters=args.iters)
     git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
                          cwd="/root/repo").stdout.strip()
@@ -115,7 +134,8 @@ def main():
 
     # numeric cost of each format on the attention output
     o = np.asarray(f_bf16(q), np.float32)
-    for name, f in (("int8", f_int8), ("int4", f_int4)):
+    for name, f in (("int8", f_int8), ("int4", f_int4),
+                    ("int4_g32", f_int4g)):
         d = np.abs(np.asarray(f(q), np.float32) - o).max()
         print(f"{name} max-abs output delta vs bf16: {d:.4f} "
               f"(out scale {np.abs(o).max():.2f})", flush=True)
