@@ -37,10 +37,13 @@ def main():
     # that upper envelope; accept rate on real text is workload-dependent
     # (prompt-lookup finds drafts in extractive/repetitive contexts).
     ap.add_argument("--spec", type=int, default=0)
+    ap.add_argument("--kv-bits", type=int, default=16, choices=[16, 8],
+                    help="8 = int8 KV cache (models/llama.py KVCache)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    cache_dtype = jnp.int8 if args.kv_bits == 8 else jnp.bfloat16
 
     from setok_tpu import config as cfgs
     from setok_tpu.models.llama import quantize_trunk_weights
@@ -105,7 +108,8 @@ def main():
             kw = dict(weight_bits=4, quant_group=128)
         m = Setokim(cfg, target_token_id=3, **kw)
         eng = ServeEngine(m, p, max_batch=args.slots, prompt_len=L,
-                          max_len=L + args.max_new + 4, eos_id=-1, pad_id=0)
+                          max_len=L + args.max_new + 4, eos_id=-1, pad_id=0,
+                          cache_dtype=cache_dtype)
         reqs = [eng.submit(q, max_new_tokens=args.max_new)
                 for q in prompts(args.slots)]
         for _ in range(4):
@@ -118,7 +122,7 @@ def main():
         n1 = sum(len(r.tokens) for r in reqs)
         line = {"metric": "serve_trunk_decode_tokens_per_sec",
                 "value": round((n1 - n0) / dt, 2), "unit": "tokens/sec",
-                "bits": bits, "slots": args.slots,
+                "bits": bits, "kv_bits": args.kv_bits, "slots": args.slots,
                 "layers": args.layers, "git": git, "time": time.time()}
         print(json.dumps(line), flush=True)
         hist.write(json.dumps(line) + "\n")
