@@ -10,10 +10,14 @@ still rewinds correctly."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from setok_tpu import config as cfgs
 from setok_tpu.models.setokim import Setokim
 from setok_tpu.serve import ServeEngine
+
+# engine end-to-end runs compile several graphs — full tier (the logit
+# numerics test below stays in smoke)
 
 
 def _model_and_params():
@@ -53,6 +57,7 @@ def test_int8_cache_decode_logits_close_to_float():
     assert cache.k.dtype == jnp.int8 and cache.k_scale is not None
 
 
+@pytest.mark.full
 def test_serve_engine_int8_cache_end_to_end():
     cfg, model, params, ids0 = _model_and_params()
     toks = {}
@@ -68,6 +73,7 @@ def test_serve_engine_int8_cache_end_to_end():
     assert toks[str(jnp.bfloat16)] == toks[str(jnp.int8)], toks
 
 
+@pytest.mark.full
 def test_serve_engine_int8_cache_with_speculation():
     cfg, model, params, ids0 = _model_and_params()
     eng = ServeEngine(model, params, max_batch=2, prompt_len=12,
@@ -79,6 +85,7 @@ def test_serve_engine_int8_cache_with_speculation():
         assert len(r.tokens) == 8
 
 
+@pytest.mark.full
 def test_tp_sharded_int8_cache_matches_single_device():
     """TP mesh + int8 cache: the k_scale/v_scale buffers get their own
     (kv-head-sharded) NamedSharding at engine init and ride the slot
@@ -100,6 +107,7 @@ def test_tp_sharded_int8_cache_matches_single_device():
     assert outs[0] == outs[1], outs
 
 
+@pytest.mark.full
 def test_decode_block_int8_cache_matches_single_step():
     """decode_block (K on-device steps per dispatch) over an int8 cache:
     the blocked scan carries the quantized cache + scales through
