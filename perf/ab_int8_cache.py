@@ -79,8 +79,16 @@ def main():
     ids = jnp.asarray(np.random.RandomState(0)
                       .randint(1, 8000, size=(B, fill)))
 
+    import setok_tpu.kernels.cache_attention as _ca
+    max_tokens = _ca.MAX_CACHE_TOKENS
     chains = {}
-    for name, cdt in (("bf16_cache", jnp.bfloat16), ("int8_cache", jnp.int8)):
+    # int8_xla = same int8 cache but dequantized by XLA outside the
+    # attention dots (kernel disabled) — isolates what the Pallas
+    # in-kernel dequant contributes vs the format itself
+    for name, cdt, use_kernel in (("bf16_cache", jnp.bfloat16, True),
+                                  ("int8_cache", jnp.int8, True),
+                                  ("int8_xla", jnp.int8, False)):
+        _ca.MAX_CACHE_TOKENS = max_tokens if use_kernel else 0
         logits, _, cache, valid, pos = jax.jit(
             lambda p, i, _dt=cdt: model.apply(
                 p, i, S, cache_dtype=_dt, method=model.prefill_text)
@@ -103,6 +111,7 @@ def main():
         tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
         jax.block_until_ready(jitted(tok0, cache, valid, next_pos))
         chains[name] = (jitted, (tok0, cache, valid, next_pos))
+    _ca.MAX_CACHE_TOKENS = max_tokens
 
     trace_dir = "/tmp/trace_ab_cache"
     shutil.rmtree(trace_dir, ignore_errors=True)

@@ -188,14 +188,32 @@ class LlamaAttention(nn.Module):
                         cks, ksc, (0, start, 0))
                     cvs = jax.lax.dynamic_update_slice(
                         cvs, vsc, (0, start, 0))
-            if quant_cache:
+            from setok_tpu.kernels.cache_attention import fits_vmem
+            # one-token decode over an int8 cache: keep the dequant INSIDE
+            # the attention kernel (kernels/cache_attention.py) — an XLA
+            # dequant here may materialize a full bf16 cache copy, giving
+            # back the bandwidth the int8 format saved
+            use_cache_kernel = (quant_cache and l == 1
+                                and fits_vmem(ck.shape[1]))
+            if quant_cache and not use_cache_kernel:
                 k = ck.astype(self.dtype) * cks[..., None].astype(self.dtype)
                 v = cv.astype(self.dtype) * cvs[..., None].astype(self.dtype)
-            else:
+            elif not quant_cache:
                 k, v = ck.astype(self.dtype), cv.astype(self.dtype)
             new_cache_kv = (ck, cv, cks, cvs)
 
         groups = cfg.num_heads // cfg.num_kv_heads
+        if cache_kv is not None and use_cache_kernel:
+            from setok_tpu.kernels.cache_attention import (
+                int8_cache_decode_attention)
+            interpret = jax.devices()[0].platform != "tpu"
+            out = int8_cache_decode_attention(
+                q[:, 0], ck, cks, cv, cvs, mask[:, 0, 0],
+                1.0 / float(np.sqrt(cfg.head_dim)), interpret)[:, None]
+            out = out.astype(self.dtype)
+            out = out.reshape(b, l, cfg.num_heads * cfg.head_dim)
+            out = dense(cfg.hidden_size, "o_proj")(out)
+            return out, new_cache_kv
         if groups > 1:
             k = jnp.repeat(k, groups, axis=2)
             v = jnp.repeat(v, groups, axis=2)

@@ -122,3 +122,36 @@ def test_decode_block_int8_cache_matches_single_step():
         eng.run()
         outs.append([list(r.tokens) for r in reqs])
     assert outs[0] == outs[1], outs
+
+
+def test_cache_attention_kernel_matches_dequant_reference():
+    """kernels/cache_attention.py == dequantize-then-attend, GQA + mask."""
+    from setok_tpu.kernels.cache_attention import int8_cache_decode_attention
+
+    rs = np.random.RandomState(3)
+    B, S, KVH, G, D = 2, 64, 2, 3, 32
+    H = KVH * G
+    q = rs.randn(B, H, D).astype(np.float32)
+    kf = rs.randn(B, S, KVH, D).astype(np.float32)
+    vf = rs.randn(B, S, KVH, D).astype(np.float32)
+    ks = (np.abs(kf).max(-1) / 127.0 + 1e-8).astype(np.float32)
+    vs = (np.abs(vf).max(-1) / 127.0 + 1e-8).astype(np.float32)
+    k8 = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
+    valid = rs.rand(B, S) > 0.3
+    valid[:, 0] = True
+
+    got = np.asarray(int8_cache_decode_attention(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(valid),
+        interpret=True))
+
+    kd = (k8.astype(np.float32) * ks[..., None]).repeat(G, axis=2)
+    vd = (v8.astype(np.float32) * vs[..., None]).repeat(G, axis=2)
+    s = np.einsum("bhd,bshd->bhs", q, kd) / np.sqrt(D)
+    s = np.where(valid[:, None, :], s, -1e30)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhs,bshd->bhd", p, vd)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -47,3 +47,31 @@ def test_serve_engine_bits4_decodes_on_chip():
     for r in reqs:
         assert len(r.tokens) == 8
         assert all(isinstance(t, int) for t in r.tokens)
+
+
+def test_int8_cache_decode_kernel_compiles_on_chip():
+    """kernels/cache_attention.py compiles via Mosaic and matches its own
+    interpret-mode numerics on serving-like shapes (GQA, padded mask)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from setok_tpu.kernels.cache_attention import int8_cache_decode_attention
+
+    rs = np.random.RandomState(5)
+    B, S, KVH, G, D = 4, 512, 4, 2, 128
+    H = KVH * G
+    q = jnp.asarray(rs.randn(B, H, D), jnp.bfloat16)
+    kf = rs.randn(B, S, KVH, D).astype(np.float32)
+    vf = rs.randn(B, S, KVH, D).astype(np.float32)
+    ks = (np.abs(kf).max(-1) / 127.0 + 1e-8).astype(np.float32)
+    vs = (np.abs(vf).max(-1) / 127.0 + 1e-8).astype(np.float32)
+    k8 = jnp.asarray(np.clip(np.round(kf / ks[..., None]), -127, 127)
+                     .astype(np.int8))
+    v8 = jnp.asarray(np.clip(np.round(vf / vs[..., None]), -127, 127)
+                     .astype(np.int8))
+    valid = np.zeros((B, S), bool)
+    valid[:, :300] = True
+    args = (q, k8, jnp.asarray(ks), v8, jnp.asarray(vs), jnp.asarray(valid))
+    on_chip = np.asarray(int8_cache_decode_attention(*args), np.float32)
+    interp = np.asarray(int8_cache_decode_attention(*args, interpret=True),
+                        np.float32)
+    np.testing.assert_allclose(on_chip, interp, rtol=2e-2, atol=2e-2)
