@@ -52,6 +52,9 @@ def main():
                    help="int4 scale group size along the input dim "
                         "(0 = per-output-channel; 128 = GPTQ/AWQ-style, "
                         "~2x lower RTN error)")
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="admit text prompts in C-token chunks (bounds "
+                        "prefill memory; prompts up to the cache width)")
     p.add_argument("--kv-bits", type=int, default=16, choices=[16, 8],
                    help="8 = int8 KV cache (per-token scales; ~51% of "
                         "bf16 decode cache-read traffic at long context)")
@@ -129,6 +132,7 @@ def main():
                       temperature=args.temperature, mesh=mesh,
                       cache_dtype=(jnp.int8 if args.kv_bits == 8
                                    else jnp.bfloat16),
+                      prefill_chunk=args.prefill_chunk,
                       decode_block=args.decode_block,
                       spec_len=args.spec_len, spec_ngram=args.spec_ngram,
                       eos_id=getattr(tok, "eos_token_id", 2),

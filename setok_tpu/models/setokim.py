@@ -343,6 +343,40 @@ class Setokim(nn.Module):
         return (self.llama.logits(hidden)[:, 0], hidden[:, 0], cache,
                 cache_valid)
 
+    def prefill_text_chunk(self, token_ids, cache: KVCache, cache_valid,
+                           pos_offset):
+        """One chunk of a chunked text-only prefill: token_ids (B, C) →
+        (logits (B, C, V), hidden, cache, cache_valid).
+
+        Prompts are left-aligned, so feeding them in fixed C-token chunks
+        reproduces single-shot `prefill_text` exactly: the chunk is
+        appended at [cache.length, cache.length+C) with pad slots marked
+        invalid (the same pad holes the one-shot path leaves), positions
+        continue from `pos_offset` (valid-token count of earlier chunks),
+        and within-chunk causality rides `make_attention_mask`. Bounds
+        prefill peak memory to O(C·S) instead of O(P·S) and admits
+        prompts up to the cache width instead of the prompt_len bucket
+        (serve/engine.py `prefill_chunk`). Beyond parity: the reference
+        prefills via HF generate in one shot (setokim_llama.py:285-300)."""
+        b, t = token_ids.shape
+        chunk_valid = token_ids != self.pad_token_id
+        embeds = self.llama.embed(token_ids)
+        if getattr(cache.length, "ndim", 0) == 1:
+            rows = jnp.arange(b)[:, None]
+            cols = cache.length[:, None] + jnp.arange(t)[None, :]
+            cache_valid = cache_valid.at[rows, cols].set(chunk_valid,
+                                                         mode="drop")
+        else:
+            cache_valid = jax.lax.dynamic_update_slice(
+                cache_valid, chunk_valid, (0, cache.length))
+        positions = (pos_offset[:, None]
+                     + jnp.cumsum(chunk_valid.astype(jnp.int32), axis=1) - 1)
+        positions = jnp.maximum(positions, 0)
+        mask = make_attention_mask(chunk_valid, positions,
+                                   cache_valid=cache_valid)
+        hidden, cache = self.llama.model(embeds, mask, positions, cache)
+        return self.llama.logits(hidden), hidden, cache, cache_valid
+
     def verify_step(self, token_ids, cache: KVCache, cache_valid,
                     next_position):
         """Chunked decode for speculative verification: token_ids (B, T) =

@@ -110,6 +110,14 @@ class ServeEngine:
     # tokens earlier at the cache-capacity edge.
     spec_len: int = 0
     spec_ngram: int = 3
+    # chunked text-only prefill: admit prompts in fixed C-token chunks
+    # through models/setokim.py::prefill_text_chunk instead of one
+    # prompt_len-wide graph. Bounds prefill peak memory to O(C·S), admits
+    # prompts up to the cache width (not the prompt_len bucket), and
+    # compiles ONE chunk graph per admit size instead of one per prompt
+    # width. 0 = off (single-shot prefill). Image admits always take the
+    # single-shot path (the vision splice needs the full sequence).
+    prefill_chunk: int = 0
     # bf16 cache halves decode-attention HBM traffic — the decode step is
     # bandwidth-bound on cache reads (B*S*layers*2*kv*dh bytes/token), so
     # cache width, not kernel fusion, sets its speed
@@ -186,6 +194,12 @@ class ServeEngine:
                         self.pad_id, self.eos_id, self.decode_block,
                         self.max_len),
                 donate_argnums=(1, 2, 3))
+        if self.prefill_chunk < 0:
+            raise ValueError("prefill_chunk must be >= 0")
+        if self.prefill_chunk > 0:
+            self._chunk = jax.jit(
+                partial(self._chunk_impl, self.model),
+                donate_argnums=(2, 3))
         if self.spec_len < 0:
             raise ValueError("spec_len must be >= 0")
         if self.spec_len > 0:
@@ -232,6 +246,45 @@ class ServeEngine:
             method=model.prefill_text)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
         first = ServeEngine._first_token(logits, temperature, rng)
+        return cache, cache_valid, next_pos, first
+
+    @staticmethod
+    def _chunk_impl(model, params, ids_chunk, cache, cache_valid, pos_off):
+        return model.apply(params, ids_chunk, cache, cache_valid, pos_off,
+                           method=model.prefill_text_chunk)
+
+    def _prefill_text_chunked(self, params, ids, lens, rng):
+        """Chunked text-only prefill (worker thread): same return contract
+        as `_prefill_text_impl` — (row_cache, row_valid, next_pos, first).
+
+        ids: (n, P) with P a multiple of prefill_chunk, prompts
+        left-aligned; lens: host list of true prompt lengths. Drives the
+        one compiled chunk graph P/C times over a fresh full-width row
+        cache; the per-row first-token logits are gathered from whichever
+        chunk holds that row's last valid token."""
+        from setok_tpu.models.llama import init_cache
+        n, p = ids.shape
+        c = self.prefill_chunk
+        lens = np.asarray(lens)
+        cache = init_cache(self.model.cfg.llama, n, self.max_len,
+                           dtype=self.cache_dtype)
+        cache_valid = jnp.zeros((n, self.max_len), bool)
+        first_logits = None
+        for ci in range(p // c):
+            chunk = ids[:, ci * c:(ci + 1) * c]
+            # valid tokens are contiguous from 0, so the count of valid
+            # tokens before this chunk is min(len, ci*C) — host math
+            pos_off = jnp.asarray(np.minimum(lens, ci * c), jnp.int32)
+            logits, _, cache, cache_valid = self._chunk(
+                params, chunk, cache, cache_valid, pos_off)
+            last_in_chunk = (lens - 1) // c == ci
+            sel = jnp.take_along_axis(
+                logits, jnp.asarray((lens - 1) % c)[:, None, None],
+                axis=1)[:, 0]
+            first_logits = sel if first_logits is None else jnp.where(
+                jnp.asarray(last_in_chunk)[:, None], sel, first_logits)
+        next_pos = jnp.asarray(lens, jnp.int32)
+        first = self._first_token(first_logits, self.temperature, rng)
         return cache, cache_valid, next_pos, first
 
     @staticmethod
@@ -396,11 +449,27 @@ class ServeEngine:
             for s, r in zip(slots, batch_reqs):
                 self._slots[s] = r           # reserved (not active yet)
             n = len(batch_reqs)
+            self._rng, rk = jax.random.split(self._rng)
+            if self.prefill_chunk > 0 and not has_image:
+                # chunked admit: prompt capacity = cache width minus one
+                # decode slot, rounded down to whole chunks
+                c = self.prefill_chunk
+                cap = ((self.max_len - 2) // c) * c
+                prompts = [r.prompt_ids[-cap:] for r in batch_reqs]
+                lens = [len(p) for p in prompts]
+                width = max(c, ((max(lens) + c - 1) // c) * c)
+                ids = np.full((n, width), self.pad_id, np.int32)
+                for i, p in enumerate(prompts):
+                    ids[i, :len(p)] = p
+                fut = self._prefill_pool.submit(
+                    self._prefill_text_chunked, self.params,
+                    jnp.asarray(ids), lens, rk)
+                self._pending.append((batch_reqs, slots, fut))
+                continue
             ids = np.full((n, self.prompt_len), self.pad_id, np.int32)
             for i, r in enumerate(batch_reqs):
                 p = r.prompt_ids[-self.prompt_len:]
                 ids[i, :len(p)] = p
-            self._rng, rk = jax.random.split(self._rng)
             if has_image:
                 images = jnp.asarray(
                     np.stack([r.image for r in batch_reqs]), jnp.float32)
