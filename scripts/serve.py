@@ -55,6 +55,11 @@ def main():
     p.add_argument("--prefill-chunk", type=int, default=0,
                    help="admit text prompts in C-token chunks (bounds "
                         "prefill memory; prompts up to the cache width)")
+    p.add_argument("--system-prompt", default=None,
+                   help="text prepended to every prompt and registered as "
+                        "a cached KV prefix (requires --prefill-chunk): "
+                        "admissions re-run the trunk over their suffix "
+                        "only")
     p.add_argument("--kv-bits", type=int, default=16, choices=[16, 8],
                    help="8 = int8 KV cache (per-token scales; ~51% of "
                         "bf16 decode cache-read traffic at long context)")
@@ -90,8 +95,22 @@ def main():
                    "Summarize SeTok in one line."]
 
     rng = jax.random.PRNGKey(0)
-    enc = [np.asarray(tok.encode(t), np.int64)[:args.prompt_len]
-           for t in prompts]
+    sys_ids = np.asarray([], np.int64)
+    if args.system_prompt:
+        if args.prefill_chunk <= 0:
+            p.error("--system-prompt requires --prefill-chunk")
+        sys_ids = np.asarray(tok.encode(args.system_prompt), np.int64)
+
+    def _encode(t):
+        ids = np.asarray(tok.encode(t), np.int64)
+        if len(sys_ids):
+            bos = getattr(tok, "bos_token_id", None)
+            if bos is not None and len(ids) and ids[0] == bos:
+                ids = ids[1:]         # BOS lives at the prefix head only
+            ids = np.concatenate([sys_ids, ids])
+        return ids[:max(args.prompt_len, len(sys_ids) + 8)]
+
+    enc = [_encode(t) for t in prompts]
 
     if args.checkpoint:
         from setok_tpu.models.builder import load_pretrained_model
@@ -137,6 +156,9 @@ def main():
                       spec_len=args.spec_len, spec_ngram=args.spec_ngram,
                       eos_id=getattr(tok, "eos_token_id", 2),
                       pad_id=getattr(tok, "pad_token_id", 0))
+    if args.system_prompt and len(sys_ids):
+        eng.register_prefix(sys_ids)
+        print(f"registered {len(sys_ids)}-token system-prompt prefix")
     t0 = time.time()
     reqs = [eng.submit(e, max_new_tokens=args.max_new_tokens) for e in enc]
     pending = set(range(len(reqs)))

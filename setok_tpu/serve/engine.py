@@ -17,7 +17,10 @@ designed TPU-first:
     queued requests are admitted by splicing a freshly prefilled (B=1) row
     into the batch cache (`dynamic_update_slice` at the slot index — the
     slot id is a traced scalar, so admission is also a single compiled fn);
-  * prompts pad to a fixed `prompt_len`, so prefill compiles once too.
+  * prompts pad to a fixed `prompt_len`, so prefill compiles once too;
+  * prefix caching: `register_prefix` precomputes the KV slab of a shared
+    system prompt once; matching admissions splice it and chunk-prefill
+    only their suffix (see `max_prefixes` / `register_prefix`).
 
 Per-token host round trips are inherent to interactive serving (the sampled
 token must reach the user); the engine amortizes the hosted-TPU dispatch
@@ -40,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+from collections import OrderedDict
 from concurrent.futures import Future, ThreadPoolExecutor
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -118,6 +122,15 @@ class ServeEngine:
     # width. 0 = off (single-shot prefill). Image admits always take the
     # single-shot path (the vision splice needs the full sequence).
     prefill_chunk: int = 0
+    # prefix caching (requires prefill_chunk > 0): `register_prefix(ids)`
+    # precomputes the KV slab for a shared prompt prefix (e.g. the system
+    # prompt) ONCE; admissions whose prompt starts with a registered
+    # prefix broadcast that slab into their rows and chunk-prefill only
+    # the suffix — prefill device time scales with the suffix, not the
+    # prompt. Left-aligned layout makes the reuse exact: when the prefix
+    # length is a multiple of prefill_chunk the resulting cache is
+    # byte-identical to prefilling the whole prompt. LRU-capped.
+    max_prefixes: int = 8
     # bf16 cache halves decode-attention HBM traffic — the decode step is
     # bandwidth-bound on cache reads (B*S*layers*2*kv*dh bytes/token), so
     # cache width, not kernel fusion, sets its speed
@@ -216,6 +229,9 @@ class ServeEngine:
         # submission order deterministic.
         self._prefill_pool = ThreadPoolExecutor(max_workers=1)
         self._pending: List[Tuple[List[Request], List[int], Future]] = []
+        # registered shared prefixes: tuple(ids) → (cache(L,1,S), valid
+        # (1,S), plen, padded width). Insertion order doubles as LRU.
+        self._prefixes: "OrderedDict[Tuple[int, ...], Tuple]" = OrderedDict()
 
     # ------------------------------------------------------------------
     # jitted pieces (static through partial; compiled once per engine)
@@ -284,6 +300,118 @@ class ServeEngine:
             first_logits = sel if first_logits is None else jnp.where(
                 jnp.asarray(last_in_chunk)[:, None], sel, first_logits)
         next_pos = jnp.asarray(lens, jnp.int32)
+        first = self._first_token(first_logits, self.temperature, rng)
+        return cache, cache_valid, next_pos, first
+
+    # ------------------------------------------------------------------
+    # prefix caching (shared system-prompt KV reuse)
+    def _chunk_cap(self) -> int:
+        """Whole-chunk prompt capacity of a chunked admission: the cache
+        width minus one decode slot, rounded down to whole chunks."""
+        c = self.prefill_chunk
+        return ((self.max_len - 2) // c) * c
+
+    def register_prefix(self, prefix_ids) -> None:
+        """Precompute and cache the KV slab for a shared prompt prefix.
+
+        Later text-only admissions whose prompt begins with `prefix_ids`
+        (and whose suffix fits the remaining chunk capacity) reuse this
+        slab instead of re-running the trunk over the prefix: admission
+        device time becomes O(suffix), the production prompt-caching win
+        for long system prompts. Requires `prefill_chunk > 0` (the suffix
+        rides the same compiled chunk graph). Oldest registration evicts
+        past `max_prefixes` (LRU — a dispatch hit refreshes recency).
+
+        Beyond parity: the reference re-prefills the full prompt through
+        HF generate on every request (setokim_llama.py:285-300)."""
+        if self.prefill_chunk <= 0:
+            raise ValueError("register_prefix requires prefill_chunk > 0")
+        ids = np.asarray(prefix_ids, np.int32)
+        c = self.prefill_chunk
+        pw = max(c, ((len(ids) + c - 1) // c) * c)
+        if pw > self._chunk_cap() - c:
+            raise ValueError("prefix leaves no room for a suffix chunk "
+                             f"({pw} padded vs cap {self._chunk_cap()})")
+        from setok_tpu.models.llama import init_cache
+        padded = np.full((1, pw), self.pad_id, np.int32)
+        padded[0, :len(ids)] = ids
+        cache = init_cache(self.model.cfg.llama, 1, self.max_len,
+                           dtype=self.cache_dtype)
+        cache_valid = jnp.zeros((1, self.max_len), bool)
+        for ci in range(pw // c):
+            pos_off = jnp.asarray([min(len(ids), ci * c)], jnp.int32)
+            _, _, cache, cache_valid = self._chunk(
+                self.params, jnp.asarray(padded[:, ci * c:(ci + 1) * c]),
+                cache, cache_valid, pos_off)
+        key = tuple(int(x) for x in ids)
+        self._prefixes[key] = (cache, cache_valid, len(ids), pw)
+        self._prefixes.move_to_end(key)
+        while len(self._prefixes) > self.max_prefixes:
+            self._prefixes.popitem(last=False)
+
+    def _match_prefix(self, prompt_ids) -> Optional[Tuple[int, ...]]:
+        """Longest registered prefix usable for this prompt, or None.
+
+        Usable = the prompt strictly extends the prefix (≥1 suffix token
+        supplies the first-token logits) and the suffix fits the capacity
+        left after the prefix slab — otherwise the plain chunked path
+        (which trims to the LAST cap tokens, destroying the prefix)
+        handles it."""
+        if self.prefill_chunk <= 0 or not self._prefixes:
+            return None
+        prompt = tuple(int(x) for x in prompt_ids)
+        best = None
+        for key, (_, _, _, pw) in self._prefixes.items():
+            if (len(key) < len(prompt) and prompt[:len(key)] == key
+                    and len(prompt) - len(key) <= self._chunk_cap() - pw
+                    and (best is None or len(key) > len(best))):
+                best = key
+        return best
+
+    def _prefill_text_prefixed(self, params, suffix_ids, suffix_lens,
+                               pkey, rng):
+        """Prefix-cached admission (worker thread): broadcast the
+        registered prefix slab to n rows, then drive the chunk graph over
+        suffix chunks only. Same return contract as `_prefill_text_impl`.
+
+        The suffix appends at the slab's padded width `pw`; RoPE
+        positions continue from the true prefix length `plen`, so when
+        `plen == pw` (prefix a multiple of prefill_chunk) the cache is
+        byte-identical to chunk-prefilling the whole prompt; otherwise
+        the pw−plen pad holes are masked invalid, exactly the holes a
+        padded single-shot prefill leaves."""
+        pcache, pvalid, plen, pw = self._prefixes[pkey]
+        n, w = suffix_ids.shape
+        c = self.prefill_chunk
+
+        def rep(a, axis=1):
+            # ALWAYS a fresh buffer: the chunk graph donates its cache
+            # args, and the registered slab must survive this admission
+            # (jnp.repeat may alias its input at n == 1)
+            if a is None:
+                return None
+            out = jnp.repeat(a, n, axis=axis) if n > 1 else jnp.copy(a)
+            return out
+
+        cache = KVCache(k=rep(pcache.k), v=rep(pcache.v),
+                        length=jnp.copy(pcache.length),
+                        k_scale=rep(pcache.k_scale),
+                        v_scale=rep(pcache.v_scale))
+        cache_valid = rep(pvalid, axis=0)
+        lens = np.asarray(suffix_lens)
+        first_logits = None
+        for ci in range(w // c):
+            chunk = suffix_ids[:, ci * c:(ci + 1) * c]
+            pos_off = jnp.asarray(plen + np.minimum(lens, ci * c), jnp.int32)
+            logits, _, cache, cache_valid = self._chunk(
+                params, chunk, cache, cache_valid, pos_off)
+            last_in_chunk = (lens - 1) // c == ci
+            sel = jnp.take_along_axis(
+                logits, jnp.asarray((lens - 1) % c)[:, None, None],
+                axis=1)[:, 0]
+            first_logits = sel if first_logits is None else jnp.where(
+                jnp.asarray(last_in_chunk)[:, None], sel, first_logits)
+        next_pos = jnp.asarray(plen + lens, jnp.int32)
         first = self._first_token(first_logits, self.temperature, rng)
         return cache, cache_valid, next_pos, first
 
@@ -436,10 +564,15 @@ class ServeEngine:
             except queue.Empty:            # racing submitter threads
                 break
             has_image = batch_reqs[0].image is not None
+            pkey = (None if has_image
+                    else self._match_prefix(batch_reqs[0].prompt_ids))
             while (len(batch_reqs) < len(free)
                    and not self._queue.empty()):
-                nxt = self._queue.queue[0]   # peek: same kind only
+                nxt = self._queue.queue[0]   # peek: same kind/prefix only
                 if (nxt.image is not None) != has_image:
+                    break
+                if (not has_image
+                        and self._match_prefix(nxt.prompt_ids) != pkey):
                     break
                 try:
                     batch_reqs.append(self._queue.get_nowait())
@@ -450,6 +583,22 @@ class ServeEngine:
                 self._slots[s] = r           # reserved (not active yet)
             n = len(batch_reqs)
             self._rng, rk = jax.random.split(self._rng)
+            if pkey is not None:
+                # prefix-cached admit: only the suffix runs the trunk
+                self._prefixes.move_to_end(pkey)   # LRU refresh
+                c = self.prefill_chunk
+                plen = len(pkey)
+                sufs = [r.prompt_ids[plen:] for r in batch_reqs]
+                lens = [len(s) for s in sufs]
+                width = max(c, ((max(lens) + c - 1) // c) * c)
+                ids = np.full((n, width), self.pad_id, np.int32)
+                for i, p in enumerate(sufs):
+                    ids[i, :len(p)] = p
+                fut = self._prefill_pool.submit(
+                    self._prefill_text_prefixed, self.params,
+                    jnp.asarray(ids), lens, pkey, rk)
+                self._pending.append((batch_reqs, slots, fut))
+                continue
             if self.prefill_chunk > 0 and not has_image:
                 # chunked admit: prompt capacity = cache width minus one
                 # decode slot, rounded down to whole chunks
