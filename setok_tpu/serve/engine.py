@@ -74,12 +74,25 @@ class Request:
     # (true per-step stopping — the loop here is host-driven, unlike the
     # compiled scan in models/generate.py)
     stopping: Optional[Any] = None
+    # streaming: called as on_token(request, token_id) after every decoded
+    # token (including the first, at admission). Runs on the engine's
+    # scheduling thread — keep it cheap; exceptions propagate to step().
+    on_token: Optional[Any] = None
     # results
     tokens: List[int] = dataclasses.field(default_factory=list)
     images_out: List[np.ndarray] = dataclasses.field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
     # internal
     _hiddens: List[np.ndarray] = dataclasses.field(default_factory=list)
+
+    def cancel(self) -> None:
+        """Stop this request at the engine's next scheduling pass.
+
+        Queued requests retire without tokens; an in-flight request keeps
+        the tokens already emitted. The slot frees for the next admission.
+        """
+        self.cancelled = True
 
 
 @dataclasses.dataclass(eq=False)
@@ -541,12 +554,18 @@ class ServeEngine:
 
     # ------------------------------------------------------------------
     def submit(self, prompt_ids, image=None, max_new_tokens: int = 64,
-               stopping=None) -> Request:
+               stopping=None, on_token=None) -> Request:
         req = Request(prompt_ids=np.asarray(prompt_ids, np.int32),
                       image=image, max_new_tokens=max_new_tokens,
-                      stopping=stopping)
+                      stopping=stopping, on_token=on_token)
         self._queue.put(req)
         return req
+
+    @staticmethod
+    def _emit(req: Request, tok: int) -> None:
+        req.tokens.append(tok)
+        if req.on_token is not None:
+            req.on_token(req, tok)
 
     def _dispatch_prefills(self) -> None:
         """Move queued requests into in-flight prefills (worker thread).
@@ -563,12 +582,21 @@ class ServeEngine:
                 batch_reqs.append(self._queue.get_nowait())
             except queue.Empty:            # racing submitter threads
                 break
+            if batch_reqs[0].cancelled:    # cancelled while queued: no
+                batch_reqs[0].done = True  # tokens, no slot
+                continue
             has_image = batch_reqs[0].image is not None
             pkey = (None if has_image
                     else self._match_prefix(batch_reqs[0].prompt_ids))
             while (len(batch_reqs) < len(free)
                    and not self._queue.empty()):
                 nxt = self._queue.queue[0]   # peek: same kind/prefix only
+                if nxt.cancelled:
+                    try:
+                        self._queue.get_nowait().done = True
+                    except queue.Empty:
+                        break
+                    continue
                 if (nxt.image is not None) != has_image:
                     break
                 if (not has_image
@@ -655,8 +683,8 @@ class ServeEngine:
                     row_valid[i:i + 1], row_pos[i:i + 1], first[i:i + 1])
                 self._active[slot] = True
                 self._len_host[slot] = int(row_cache.length)
-                req.tokens.append(int(firsts[i]))
-                if int(firsts[i]) == self.eos_id:
+                self._emit(req, int(firsts[i]))
+                if int(firsts[i]) == self.eos_id or req.cancelled:
                     self._retire(slot)
             block = False                  # one blocking harvest is enough
         self._pending = still
@@ -671,7 +699,7 @@ class ServeEngine:
         if self.eos_id in req.tokens:
             req.tokens = req.tokens[:req.tokens.index(self.eos_id)]
         if (self.im_start_id is not None and self.im_end_id is not None
-                and req._hiddens):
+                and req._hiddens and not req.cancelled):
             hid = np.stack(req._hiddens, axis=0)       # (T-1, H)
             if len(req._hiddens) < len(req.tokens) + 1:
                 hid = np.concatenate([hid, hid[-1:]], axis=0)
@@ -694,6 +722,12 @@ class ServeEngine:
         waits for one when it has nothing else to do."""
         self._dispatch_prefills()
         self._harvest_prefills()
+        # cancelled in-flight requests retire before the dispatch (their
+        # tokens so far are kept; the slot frees this pass)
+        for slot in range(self.max_batch):
+            req = self._slots[slot]
+            if self._active[slot] and req is not None and req.cancelled:
+                self._retire(slot)
         # capacity guard: a dispatch writes `need` cache entries per row at
         # its length offset; rows without room must retire BEFORE the
         # dispatch (a clamped write would slide backward over valid
@@ -726,7 +760,7 @@ class ServeEngine:
                 continue
             req._hiddens.append(hid[slot])   # hidden of the fed token
             tok = int(toks[slot])
-            req.tokens.append(tok)
+            self._emit(req, tok)
             self._len_host[slot] += 1
             budget_done = (len(req.tokens) >= req.max_new_tokens
                            or int(self._pos[slot]) >= self.max_len - 1)
@@ -761,7 +795,7 @@ class ServeEngine:
                     break
                 req._hiddens.append(hid[t, slot])
                 tok = int(toks[t, slot])
-                req.tokens.append(tok)
+                self._emit(req, tok)
                 self._len_host[slot] += 1
                 budget_done = (len(req.tokens) >= req.max_new_tokens
                                or pos_before[slot] + t + 1
@@ -808,7 +842,7 @@ class ServeEngine:
             for i in range(int(emit[slot])):
                 req._hiddens.append(hid[slot, i])
                 tok = int(toks[slot, i])
-                req.tokens.append(tok)
+                self._emit(req, tok)
                 self._len_host[slot] += 1
                 # cache capacity is enforced by step()'s pre-dispatch guard
                 budget_done = len(req.tokens) >= req.max_new_tokens
