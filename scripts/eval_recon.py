@@ -49,7 +49,11 @@ def main():
                    choices=["fp32", "bf16", "quant8"],
                    help="inference precision variant (quant8 = the fused "
                         "int8 kernel path the bench headline uses)")
+    from setok_tpu.utils.compile_cache import (add_cli_flag,
+                                               enable_compilation_cache)
+    add_cli_flag(p)
     args = p.parse_args()
+    enable_compilation_cache(args.compile_cache)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

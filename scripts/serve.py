@@ -65,7 +65,11 @@ def main():
                         "bf16 decode cache-read traffic at long context)")
     p.add_argument("--tiny", action="store_true", default=True)
     p.add_argument("--cpu", action="store_true")
+    from setok_tpu.utils.compile_cache import (add_cli_flag,
+                                               enable_compilation_cache)
+    add_cli_flag(p)
     args = p.parse_args()
+    enable_compilation_cache(args.compile_cache)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         if args.tensor_parallel > 1:

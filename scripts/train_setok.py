@@ -66,11 +66,15 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
+    from setok_tpu.utils.compile_cache import add_cli_flag
+    add_cli_flag(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from setok_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(args.compile_cache)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     from setok_tpu import config as cfgs

@@ -83,6 +83,8 @@ def parse_args():
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
+    from setok_tpu.utils.compile_cache import add_cli_flag
+    add_cli_flag(p)
     return p.parse_args()
 
 
@@ -110,6 +112,8 @@ def synthetic_batches(args, cfg, rs):
 
 def main():
     args = parse_args()
+    from setok_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(args.compile_cache)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         n = max(args.tensor_parallel, args.sequence_parallel, 2)
