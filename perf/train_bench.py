@@ -107,7 +107,8 @@ def main():
         trainer = Stage2Trainer(cfg, train_cfg=cfgs.TrainConfig(
             warmup_steps=0), target_token_id=tgt)
         state = trainer.create_state(rng, batch)
-        lowered = None          # dispatches through _train_step_full
+        lowered = type(trainer)._train_step_full.lower(
+            trainer, state, batch, jax.random.PRNGKey(1))
         step = lambda st, r: trainer.train_step(st, batch, r)
         label = f"stage2/{args.scale} L={L}"
 

@@ -242,6 +242,9 @@ class ServeEngine:
         # submission order deterministic.
         self._prefill_pool = ThreadPoolExecutor(max_workers=1)
         self._pending: List[Tuple[List[Request], List[int], Future]] = []
+        # retirement image renders in flight (same worker as prefills, so
+        # decode never stalls on a MaskGIT loop; req.done flips at harvest)
+        self._renders: List[Tuple[Request, Future]] = []
         # registered shared prefixes: tuple(ids) → (cache(L,1,S), valid
         # (1,S), plen, padded width). Insertion order doubles as LRU.
         self._prefixes: "OrderedDict[Tuple[int, ...], Tuple]" = OrderedDict()
@@ -684,7 +687,13 @@ class ServeEngine:
                 self._active[slot] = True
                 self._len_host[slot] = int(row_cache.length)
                 self._emit(req, int(firsts[i]))
-                if int(firsts[i]) == self.eos_id or req.cancelled:
+                # the admission token counts against the same stops as
+                # decode tokens — a max_new_tokens=1 request retires HERE
+                budget_done = len(req.tokens) >= req.max_new_tokens
+                kw_done = (req.stopping is not None
+                           and req.stopping.should_stop(req.tokens))
+                if (int(firsts[i]) == self.eos_id or req.cancelled
+                        or budget_done or kw_done):
                     self._retire(slot)
             block = False                  # one blocking harvest is enough
         self._pending = still
@@ -704,17 +713,41 @@ class ServeEngine:
             if len(req._hiddens) < len(req.tokens) + 1:
                 hid = np.concatenate([hid, hid[-1:]], axis=0)
             ids = np.asarray(req.tokens)
-            for s, e in find_image_spans(ids, self.im_start_id,
-                                         self.im_end_id):
-                if e <= s or e > hid.shape[0]:
-                    continue
-                self._rng, k = jax.random.split(self._rng)
-                img = generate_image(self.model, self.params,
-                                     jnp.asarray(hid[None, s:e]), k,
-                                     self.num_iter, self.cfg_scale)
-                req.images_out.append(np.asarray(img[0]))
+            spans = [(s, e)
+                     for s, e in find_image_spans(ids, self.im_start_id,
+                                                  self.im_end_id)
+                     if e > s and e <= hid.shape[0]]
+            if spans:
+                # render on the worker thread — a MaskGIT loop must not
+                # stall the decode batch. One rng per span, split here so
+                # the stream stays deterministic; done flips at harvest.
+                keys = []
+                for _ in spans:
+                    self._rng, k = jax.random.split(self._rng)
+                    keys.append(k)
+
+                def render(hid=hid, spans=spans, keys=keys):
+                    return [np.asarray(generate_image(
+                        self.model, self.params, jnp.asarray(hid[None, s:e]),
+                        k, self.num_iter, self.cfg_scale)[0])
+                        for (s, e), k in zip(spans, keys)]
+
+                req._hiddens = []
+                self._renders.append((req,
+                                      self._prefill_pool.submit(render)))
+                return
         req._hiddens = []
         req.done = True
+
+    def _harvest_renders(self, block: bool = False) -> None:
+        still = []
+        for req, fut in self._renders:
+            if block or fut.done():
+                req.images_out.extend(fut.result())
+                req.done = True
+            else:
+                still.append((req, fut))
+        self._renders = still
 
     def step(self) -> int:
         """Dispatch/harvest admissions, run one decode step; returns the
@@ -722,6 +755,7 @@ class ServeEngine:
         waits for one when it has nothing else to do."""
         self._dispatch_prefills()
         self._harvest_prefills()
+        self._harvest_renders()
         # cancelled in-flight requests retire before the dispatch (their
         # tokens so far are kept; the slot frees this pass)
         for slot in range(self.max_batch):
@@ -858,4 +892,5 @@ class ServeEngine:
         for _ in range(max_steps):
             if (self.step() == 0 and self._queue.empty()
                     and not self._pending):
+                self._harvest_renders(block=True)
                 return

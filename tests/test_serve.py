@@ -235,6 +235,11 @@ def test_image_span_rendering_at_retirement(model_and_params):
     eng._slots[0] = req
     eng._active[0] = True
     eng._retire(0)
+    # rendering is async (worker thread): the slot frees immediately and
+    # done flips only once the images are harvested
+    assert eng._slots[0] is None and not eng._active[0]
+    assert len(eng._renders) == 1
+    eng._harvest_renders(block=True)
     assert req.done
     assert len(req.images_out) == 1
     img = req.images_out[0]
@@ -552,3 +557,24 @@ def test_mixed_kind_admission_split(model_and_params):
     assert sizes == [1, 2]
     eng.run()
     assert all(s is None for s in eng._slots)
+
+
+def test_admission_token_counts_against_budget_and_keywords(model_and_params):
+    """max_new_tokens=1 retires at admission with exactly one token, and a
+    keyword stop that fires on the first token is honored immediately —
+    the admission token obeys the same stops as decode tokens."""
+    model, params = model_and_params
+    ids, img = make_prompt(6)
+    eng = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                      max_len=L + 8, eos_id=2, pad_id=0)
+
+    class StopAlways:
+        def should_stop(self, tokens):
+            return len(tokens) >= 1
+
+    r1 = eng.submit(ids, image=img, max_new_tokens=1)
+    r2 = eng.submit(ids, image=img, max_new_tokens=10,
+                    stopping=StopAlways())
+    eng.run()
+    assert r1.done and len(r1.tokens) == 1
+    assert r2.done and len(r2.tokens) == 1
