@@ -34,6 +34,8 @@ def main():
     p.add_argument("--max-len", type=int, default=256)
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="nucleus sampling at temperature>0 (1.0 = off)")
     p.add_argument("--decode-block", type=int, default=1,
                    help="decode steps per host dispatch (on-device scan; "
                         ">1 amortizes dispatch latency over K tokens)")
@@ -152,7 +154,8 @@ def main():
     import jax.numpy as jnp
     eng = ServeEngine(model, params, max_batch=args.max_batch,
                       prompt_len=args.prompt_len, max_len=args.max_len,
-                      temperature=args.temperature, mesh=mesh,
+                      temperature=args.temperature, top_p=args.top_p,
+                      mesh=mesh,
                       cache_dtype=(jnp.int8 if args.kv_bits == 8
                                    else jnp.bfloat16),
                       prefill_chunk=args.prefill_chunk,

@@ -53,7 +53,8 @@ import jax
 import jax.numpy as jnp
 
 from setok_tpu.models.llama import KVCache
-from setok_tpu.models.generate import find_image_spans, generate_image
+from setok_tpu.models.generate import (find_image_spans, generate_image,
+                                       _top_p_filter)
 from setok_tpu.models.setokim import Setokim
 
 try:                                   # sharding types (multi-chip serving)
@@ -105,6 +106,13 @@ class ServeEngine:
     eos_id: int = 2
     pad_id: int = 0
     temperature: float = 0.0               # 0 = greedy
+    # nucleus sampling: restrict sampling (temperature>0) to the smallest
+    # token set of cumulative probability >= top_p — same filter as the
+    # offline path (models/generate._top_p_filter). 1.0 = off. Applies to
+    # every decode flavor incl. speculative verification (drafts outside
+    # the nucleus get p=0 and are always rejected, so emitted tokens
+    # follow exactly the filtered distribution).
+    top_p: float = 1.0
     im_start_id: Optional[int] = None      # render generated image spans
     im_end_id: Optional[int] = None
     num_iter: int = 16                     # MaskGIT iterations per image
@@ -204,21 +212,22 @@ class ServeEngine:
 
         self._prefill = jax.jit(partial(self._prefill_impl, self.model,
                                         self.max_len, self.cache_dtype,
-                                        self.temperature))
+                                        self.temperature, self.top_p))
         self._prefill_text = jax.jit(partial(
             self._prefill_text_impl, self.model, self.max_len,
-            self.cache_dtype, self.temperature))
+            self.cache_dtype, self.temperature, self.top_p))
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3))
         self._step = jax.jit(partial(self._step_impl, self.model,
-                                     self.temperature, self.pad_id),
+                                     self.temperature, self.top_p,
+                                     self.pad_id),
                              donate_argnums=(1, 2, 3))
         if self.decode_block < 1:
             raise ValueError("decode_block must be >= 1")
         if self.decode_block > 1:
             self._step_multi = jax.jit(
                 partial(self._step_multi_impl, self.model, self.temperature,
-                        self.pad_id, self.eos_id, self.decode_block,
-                        self.max_len),
+                        self.top_p, self.pad_id, self.eos_id,
+                        self.decode_block, self.max_len),
                 donate_argnums=(1, 2, 3))
         if self.prefill_chunk < 0:
             raise ValueError("prefill_chunk must be >= 0")
@@ -234,7 +243,7 @@ class ServeEngine:
                                  "amortizations — pick one")
             self._spec = jax.jit(
                 partial(self._spec_step_impl, self.model, self.pad_id,
-                        self.temperature),
+                        self.temperature, self.top_p),
                 donate_argnums=(1, 2, 3))
         # admission prefills dispatch on a worker thread so the decode loop
         # never blocks on a prefill: the jitted call is pure (no engine
@@ -252,32 +261,35 @@ class ServeEngine:
     # ------------------------------------------------------------------
     # jitted pieces (static through partial; compiled once per engine)
     @staticmethod
-    def _first_token(logits, temperature, rng):
-        # same policy as decode steps: greedy at t=0, categorical otherwise
+    def _sample(logits, temperature, top_p, rng):
+        # one sampling policy for every decode flavor: greedy at t=0,
+        # temperature/nucleus categorical otherwise
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(
-            rng, logits / temperature, axis=-1).astype(jnp.int32)
+        logits = logits / temperature
+        if top_p < 1.0:
+            logits = _top_p_filter(logits, top_p)
+        return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
     @staticmethod
-    def _prefill_impl(model, max_len, cache_dtype, temperature, params, ids,
-                      images, rng):
+    def _prefill_impl(model, max_len, cache_dtype, temperature, top_p,
+                      params, ids, images, rng):
         logits, _, cache, cache_valid, _ = model.apply(
             params, ids, images, max_len, cache_dtype=cache_dtype,
             method=model.prefill)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
-        first = ServeEngine._first_token(logits, temperature, rng)
+        first = ServeEngine._sample(logits, temperature, top_p, rng)
         return cache, cache_valid, next_pos, first
 
     @staticmethod
-    def _prefill_text_impl(model, max_len, cache_dtype, temperature, params,
-                           ids, rng):
+    def _prefill_text_impl(model, max_len, cache_dtype, temperature, top_p,
+                           params, ids, rng):
         # text-only fast path: never touches the vision tower
         logits, _, cache, cache_valid, _ = model.apply(
             params, ids, max_len, cache_dtype=cache_dtype,
             method=model.prefill_text)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
-        first = ServeEngine._first_token(logits, temperature, rng)
+        first = ServeEngine._sample(logits, temperature, top_p, rng)
         return cache, cache_valid, next_pos, first
 
     @staticmethod
@@ -316,7 +328,7 @@ class ServeEngine:
             first_logits = sel if first_logits is None else jnp.where(
                 jnp.asarray(last_in_chunk)[:, None], sel, first_logits)
         next_pos = jnp.asarray(lens, jnp.int32)
-        first = self._first_token(first_logits, self.temperature, rng)
+        first = self._sample(first_logits, self.temperature, self.top_p, rng)
         return cache, cache_valid, next_pos, first
 
     # ------------------------------------------------------------------
@@ -428,7 +440,8 @@ class ServeEngine:
             first_logits = sel if first_logits is None else jnp.where(
                 jnp.asarray(last_in_chunk)[:, None], sel, first_logits)
         next_pos = jnp.asarray(plen + lens, jnp.int32)
-        first = self._first_token(first_logits, self.temperature, rng)
+        first = self._sample(first_logits, self.temperature, self.top_p,
+                             rng)
         return cache, cache_valid, next_pos, first
 
     @staticmethod
@@ -455,16 +468,13 @@ class ServeEngine:
                 cache_valid, pos, cur_tok)
 
     @staticmethod
-    def _step_impl(model, temperature, pad_id, params, cache, cache_valid,
-                   pos, cur_tok, active, rng):
+    def _step_impl(model, temperature, top_p, pad_id, params, cache,
+                   cache_valid, pos, cur_tok, active, rng):
         logits, hidden, cache, cache_valid = model.apply(
             params, cur_tok[:, None], cache, cache_valid, pos,
             method=model.decode_step)
-        if temperature == 0.0:
-            nxt = jnp.argmax(logits, axis=-1)
-        else:
-            nxt = jax.random.categorical(rng, logits / temperature, axis=-1)
-        nxt = jnp.where(active, nxt.astype(jnp.int32), pad_id)
+        nxt = ServeEngine._sample(logits, temperature, top_p, rng)
+        nxt = jnp.where(active, nxt, pad_id)
         # decode_step already advanced every row's length by 1 (LlamaModel);
         # retired rows must not advance — undo theirs so their clamped
         # cache writes stay pinned and droppable
@@ -474,9 +484,9 @@ class ServeEngine:
                 nxt, hidden)
 
     @staticmethod
-    def _step_multi_impl(model, temperature, pad_id, eos_id, steps, max_len,
-                         params, cache, cache_valid, pos, cur_tok, active,
-                         rng):
+    def _step_multi_impl(model, temperature, top_p, pad_id, eos_id, steps,
+                         max_len, params, cache, cache_valid, pos, cur_tok,
+                         active, rng):
         """`steps` decode steps as one on-device scan (one host dispatch).
 
         Per-step semantics match `_step_impl`; additionally a slot's active
@@ -491,12 +501,8 @@ class ServeEngine:
             logits, hidden, cache, cache_valid = model.apply(
                 params, cur_tok[:, None], cache, cache_valid, pos,
                 method=model.decode_step)
-            if temperature == 0.0:
-                nxt = jnp.argmax(logits, axis=-1)
-            else:
-                nxt = jax.random.categorical(rk, logits / temperature,
-                                             axis=-1)
-            nxt = jnp.where(active, nxt.astype(jnp.int32), pad_id)
+            nxt = ServeEngine._sample(logits, temperature, top_p, rk)
+            nxt = jnp.where(active, nxt, pad_id)
             new_pos = jnp.where(active, pos + 1, pos)
             length = jnp.where(active, cache.length, cache.length - 1)
             new_active = active & (nxt != eos_id) & (new_pos < max_len - 1)
@@ -511,7 +517,7 @@ class ServeEngine:
         return cache, cache_valid, pos, cur_tok, toks, hiddens, act_in
 
     @staticmethod
-    def _spec_step_impl(model, pad_id, temperature, params, cache,
+    def _spec_step_impl(model, pad_id, temperature, top_p, params, cache,
                         cache_valid, pos, cur_tok, drafts, active, rng):
         """One speculative dispatch: verify (B, 1+D) chunks, accept the
         longest valid draft prefix, rewind the rest.
@@ -541,8 +547,10 @@ class ServeEngine:
             acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
                           axis=1)
         else:
-            probs = jax.nn.softmax(
-                logits.astype(jnp.float32) / temperature, axis=-1)
+            scaled = logits.astype(jnp.float32) / temperature
+            if top_p < 1.0:
+                scaled = _top_p_filter(scaled, top_p)
+            probs = jax.nn.softmax(scaled, axis=-1)
             out_tok, acc = speculative_sample(probs, drafts, rng)
         emit = jnp.where(active, acc + 1, 0)
         t = d + 1

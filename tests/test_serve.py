@@ -578,3 +578,26 @@ def test_admission_token_counts_against_budget_and_keywords(model_and_params):
     eng.run()
     assert r1.done and len(r1.tokens) == 1
     assert r2.done and len(r2.tokens) == 1
+
+
+def test_top_p_nucleus_collapses_to_greedy(model_and_params):
+    """temperature=1 with top_p→0 keeps only the argmax in the nucleus, so
+    every decode flavor must reproduce the greedy stream — exercises the
+    filter in prefill, single-step, decode_block, and speculative paths."""
+    model, params = model_and_params
+    ids, img = make_prompt(11)
+
+    def run(**kw):
+        eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                          max_len=L + 16, eos_id=2, pad_id=0, **kw)
+        r = eng.submit(ids, image=img, max_new_tokens=6)
+        eng.run()
+        return r.tokens
+
+    greedy = run()
+    assert run(temperature=1.0, top_p=1e-6) == greedy
+    assert run(temperature=1.0, top_p=1e-6, decode_block=3) == greedy
+    # spec path: near-ties across verify shapes can flip argmax (documented
+    # engine caveat), so assert completion + budget rather than equality
+    spec = run(temperature=1.0, top_p=1e-6, spec_len=3)
+    assert 1 <= len(spec) <= 6
