@@ -183,6 +183,12 @@ def main():
     dt = time.time() - t0
     print(f"{len(reqs)} requests, {ntok} tokens in {dt:.1f}s "
           f"({ntok / max(dt, 1e-9):.1f} tok/s incl. compile)")
+    ttfts = [r.ttft for r in reqs if r.ttft is not None]
+    lats = [r.latency for r in reqs if r.latency is not None]
+    if ttfts:
+        print(f"TTFT mean {1e3 * sum(ttfts) / len(ttfts):.0f} ms, "
+              f"latency mean {1e3 * sum(lats) / len(lats):.0f} ms; "
+              f"engine stats: {eng.stats()}")
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import time
 from collections import OrderedDict
 from concurrent.futures import Future, ThreadPoolExecutor
 from functools import partial
@@ -84,8 +85,27 @@ class Request:
     images_out: List[np.ndarray] = dataclasses.field(default_factory=list)
     done: bool = False
     cancelled: bool = False
+    # timing (monotonic seconds; None until reached): submit → first
+    # token (TTFT) → done. Filled by the engine; read via ServeEngine.stats
+    t_submit: Optional[float] = None
+    t_first: Optional[float] = None
+    t_done: Optional[float] = None
     # internal
     _hiddens: List[np.ndarray] = dataclasses.field(default_factory=list)
+
+    @property
+    def ttft(self) -> Optional[float]:
+        """Submit → first-token latency (s), or None if no token yet."""
+        if self.t_submit is None or self.t_first is None:
+            return None
+        return self.t_first - self.t_submit
+
+    @property
+    def latency(self) -> Optional[float]:
+        """Submit → done wall time (s), or None while running."""
+        if self.t_submit is None or self.t_done is None:
+            return None
+        return self.t_done - self.t_submit
 
     def cancel(self) -> None:
         """Stop this request at the engine's next scheduling pass.
@@ -257,6 +277,9 @@ class ServeEngine:
         # registered shared prefixes: tuple(ids) → (cache(L,1,S), valid
         # (1,S), plen, padded width). Insertion order doubles as LRU.
         self._prefixes: "OrderedDict[Tuple[int, ...], Tuple]" = OrderedDict()
+        # cumulative counters (read via stats())
+        self._n_done = 0
+        self._n_tokens = 0
 
     # ------------------------------------------------------------------
     # jitted pieces (static through partial; compiled once per engine)
@@ -568,15 +591,23 @@ class ServeEngine:
                stopping=None, on_token=None) -> Request:
         req = Request(prompt_ids=np.asarray(prompt_ids, np.int32),
                       image=image, max_new_tokens=max_new_tokens,
-                      stopping=stopping, on_token=on_token)
+                      stopping=stopping, on_token=on_token,
+                      t_submit=time.monotonic())
         self._queue.put(req)
         return req
 
-    @staticmethod
-    def _emit(req: Request, tok: int) -> None:
+    def _emit(self, req: Request, tok: int) -> None:
         req.tokens.append(tok)
+        self._n_tokens += 1
+        if req.t_first is None:
+            req.t_first = time.monotonic()
         if req.on_token is not None:
             req.on_token(req, tok)
+
+    def _finish(self, req: Request) -> None:
+        req.done = True
+        req.t_done = time.monotonic()
+        self._n_done += 1
 
     def _dispatch_prefills(self) -> None:
         """Move queued requests into in-flight prefills (worker thread).
@@ -594,7 +625,7 @@ class ServeEngine:
             except queue.Empty:            # racing submitter threads
                 break
             if batch_reqs[0].cancelled:    # cancelled while queued: no
-                batch_reqs[0].done = True  # tokens, no slot
+                self._finish(batch_reqs[0])  # tokens, no slot
                 continue
             has_image = batch_reqs[0].image is not None
             pkey = (None if has_image
@@ -604,7 +635,7 @@ class ServeEngine:
                 nxt = self._queue.queue[0]   # peek: same kind/prefix only
                 if nxt.cancelled:
                     try:
-                        self._queue.get_nowait().done = True
+                        self._finish(self._queue.get_nowait())
                     except queue.Empty:
                         break
                     continue
@@ -745,17 +776,29 @@ class ServeEngine:
                                       self._prefill_pool.submit(render)))
                 return
         req._hiddens = []
-        req.done = True
+        self._finish(req)
 
     def _harvest_renders(self, block: bool = False) -> None:
         still = []
         for req, fut in self._renders:
             if block or fut.done():
                 req.images_out.extend(fut.result())
-                req.done = True
+                self._finish(req)
             else:
                 still.append((req, fut))
         self._renders = still
+
+    def stats(self) -> Dict[str, Any]:
+        """Scheduler snapshot + cumulative counters, for monitoring:
+        slot occupancy, queue/backlog depths, totals. Per-request latency
+        lives on the Request itself (`ttft`, `latency`)."""
+        return {"active_slots": int(self._active.sum()),
+                "max_batch": self.max_batch,
+                "queued": self._queue.qsize(),
+                "prefills_in_flight": len(self._pending),
+                "renders_in_flight": len(self._renders),
+                "requests_done": self._n_done,
+                "tokens_emitted": self._n_tokens}
 
     def step(self) -> int:
         """Dispatch/harvest admissions, run one decode step; returns the

@@ -601,3 +601,23 @@ def test_top_p_nucleus_collapses_to_greedy(model_and_params):
     # engine caveat), so assert completion + budget rather than equality
     spec = run(temperature=1.0, top_p=1e-6, spec_len=3)
     assert 1 <= len(spec) <= 6
+
+
+def test_stats_and_request_timing(model_and_params):
+    """stats() counters reconcile with the finished requests, and each
+    request carries submit→first-token→done timestamps in order."""
+    model, params = model_and_params
+    prompts, images = zip(*[make_prompt(s) for s in range(3)])
+    eng = ServeEngine(model, params, max_batch=2, prompt_len=L,
+                      max_len=L + 8, eos_id=2, pad_id=0)
+    reqs = [eng.submit(p, image=im, max_new_tokens=4)
+            for p, im in zip(prompts, images)]
+    eng.run()
+    st = eng.stats()
+    assert st["requests_done"] == 3
+    assert st["tokens_emitted"] >= sum(len(r.tokens) for r in reqs)
+    assert st["active_slots"] == 0 and st["queued"] == 0
+    assert st["prefills_in_flight"] == 0 and st["renders_in_flight"] == 0
+    for r in reqs:
+        assert r.t_submit is not None and r.ttft is not None
+        assert r.ttft >= 0 and r.latency >= r.ttft
