@@ -44,6 +44,9 @@ def parse_args():
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--warmup-steps", type=int, default=100)
     p.add_argument("--model-max-length", type=int, default=2048)
+    p.add_argument("--grad-accum-steps", type=int, default=1,
+                   help="micro-batches per optimizer update (HF "
+                        "gradient_accumulation_steps equivalent)")
     p.add_argument("--tiny", action="store_true")
     # freezing / staging flags (training_utils.py parity)
     p.add_argument("--freeze-backbone", action="store_true")
@@ -149,7 +152,8 @@ def main():
     train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
                                  warmup_steps=args.warmup_steps,
                                  total_steps=args.steps,
-                                 batch_size=args.batch_size, seed=args.seed)
+                                 batch_size=args.batch_size, seed=args.seed,
+                                 grad_accum_steps=args.grad_accum_steps)
 
     devs = jax.devices()
     sp = min(args.sequence_parallel, len(devs))

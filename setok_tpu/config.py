@@ -227,6 +227,9 @@ class TrainConfig:
     warmup_steps: int = 100
     total_steps: int = 10000
     batch_size: int = 24
+    # micro-batches accumulated (mean) per optimizer update — HF
+    # gradient_accumulation_steps equivalent (stage-2; optax.MultiSteps)
+    grad_accum_steps: int = 1
     seed: int = 0
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -109,6 +109,13 @@ class Stage2Trainer:
              "lora": opt(sched),
              "frozen": optax.set_to_zero()},
             self._labels)
+        if tc.grad_accum_steps > 1:
+            # HF gradient_accumulation_steps equivalent: k micro-batches
+            # accumulate (mean) before one optimizer update; the schedule
+            # advances per UPDATE, so lr semantics match the reference's
+            # per-effective-batch stepping
+            self._tx = optax.MultiSteps(
+                self._tx, every_k_schedule=tc.grad_accum_steps)
 
     # ------------------------------------------------------------------
     def _label_of(self, name: str, in_lora_tree: bool) -> str:

@@ -236,3 +236,36 @@ def test_qlora_checkpoint_roundtrip(tmp_path):
     # the restored state steps
     restored, metrics = tr.train_step(restored, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_gradient_accumulation_matches_single_step():
+    """grad_accum_steps=k (optax.MultiSteps): k identical micro-batches
+    produce exactly the single-step update (mean of identical grads), and
+    params do not move before the k-th micro-step — HF
+    gradient_accumulation_steps semantics."""
+    batch = make_batch()
+    rng = jax.random.PRNGKey(1)
+
+    tr1 = Stage2Trainer(cfgs.tiny_setokim(), train_cfg=TC,
+                        target_token_id=TGT)
+    s1 = tr1.create_state(jax.random.PRNGKey(0), batch)
+    s1, _ = tr1.train_step(s1, batch, rng)
+    want = jax.tree.map(np.asarray, s1.params)
+
+    tr2 = Stage2Trainer(cfgs.tiny_setokim(),
+                        train_cfg=cfgs.replace(TC, grad_accum_steps=2),
+                        target_token_id=TGT)
+    s2 = tr2.create_state(jax.random.PRNGKey(0), batch)
+    before = jax.tree.map(np.asarray, s2.params)
+    s2, _ = tr2.train_step(s2, batch, rng)      # micro-step 1: accumulate
+    mid = jax.tree.map(np.asarray, s2.params)
+    chex_same = jax.tree.map(np.array_equal, before, mid)
+    assert all(jax.tree.leaves(chex_same)), "params moved before k-th step"
+    s2, _ = tr2.train_step(s2, batch, rng)      # micro-step 2: update
+    after = jax.tree.map(np.asarray, s2.params)
+    for p, (a, b) in zip(jax.tree_util.tree_flatten_with_path(want)[0],
+                         zip(jax.tree.leaves(want),
+                             jax.tree.leaves(after))):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-5, atol=2e-6,
+            err_msg=jax.tree_util.keystr(p[0]))
