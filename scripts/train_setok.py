@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=24)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--warmup-steps", type=int, default=100)
+    p.add_argument("--grad-accum-steps", type=int, default=1,
+                   help="micro-batches per optimizer update (HF "
+                        "gradient_accumulation_steps equivalent)")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--min-cluster-num", type=int, default=64)
     p.add_argument("--threshold", type=float, default=0.55)
@@ -103,7 +106,8 @@ def main():
     train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
                                  warmup_steps=args.warmup_steps,
                                  total_steps=args.steps,
-                                 batch_size=args.batch_size, seed=args.seed)
+                                 batch_size=args.batch_size, seed=args.seed,
+                                 grad_accum_steps=args.grad_accum_steps)
     trainer = Stage1Trainer(
         tok_cfg, det_cfg,
         gan_cfg=cfgs.GANLossConfig(disc_start=args.disc_start),

@@ -103,6 +103,14 @@ class Stage1Trainer:
                                        weight_decay=tc.weight_decay)
         self.disc_opt = optax.adam(tc.disc_learning_rate, b1=tc.beta1,
                                    b2=tc.beta2)
+        if tc.grad_accum_steps > 1:
+            # HF gradient_accumulation_steps equivalent. Both optimizers
+            # accumulate in lockstep, so the gen/disc alternation phase is
+            # preserved; `disc_start`/warm-up count micro-steps.
+            self.gen_opt = optax.MultiSteps(self.gen_opt,
+                                            tc.grad_accum_steps)
+            self.disc_opt = optax.MultiSteps(self.disc_opt,
+                                             tc.grad_accum_steps)
 
     # ------------------------------------------------------------------
     def create_state(self, rng: jax.Array, sample_batch: Dict[str, Any]

@@ -126,3 +126,33 @@ def test_text_encoder_contrastive_path():
         jax.tree_util.tree_leaves(before),
         jax.tree_util.tree_leaves(after)))
     assert moved    # the text tower trains with the generator
+
+
+def test_gradient_accumulation_matches_single_step():
+    """Stage-1 grad_accum_steps=k: k identical micro-batches reproduce the
+    single-step update for BOTH optimizers (gen + disc accumulate in
+    lockstep), with no param motion before the k-th micro-step."""
+    tc = cfgs.TrainConfig(warmup_steps=0)
+    mk = lambda cfg: Stage1Trainer(
+        cfgs.tiny_tokenizer(), cfgs.tiny_detokenizer(),
+        gan_cfg=cfgs.GANLossConfig(disc_start=0, warm_up_end=0),
+        contrastive_cfg=cfgs.ContrastiveLossConfig(text_embed_dim=32),
+        train_cfg=cfg)
+    batch = make_batch(b=4)
+    rng = jax.random.PRNGKey(1)
+
+    tr1 = mk(tc)
+    s1 = tr1.create_state(jax.random.PRNGKey(0), batch)
+    s1, _ = tr1.train_step(s1, batch, rng)
+    want = jax.tree.map(np.asarray, (s1.gen_params, s1.disc_params))
+
+    tr2 = mk(cfgs.replace(tc, grad_accum_steps=2))
+    s2 = tr2.create_state(jax.random.PRNGKey(0), batch)
+    before = jax.tree.map(np.asarray, (s2.gen_params, s2.disc_params))
+    s2, _ = tr2.train_step(s2, batch, rng)
+    mid = jax.tree.map(np.asarray, (s2.gen_params, s2.disc_params))
+    assert all(jax.tree.leaves(jax.tree.map(np.array_equal, before, mid)))
+    s2, _ = tr2.train_step(s2, batch, rng)
+    got = jax.tree.map(np.asarray, (s2.gen_params, s2.disc_params))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=2e-5, atol=2e-6), want, got)
