@@ -36,6 +36,10 @@ def main():
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-p", type=float, default=1.0,
                    help="nucleus sampling at temperature>0 (1.0 = off)")
+    p.add_argument("--presence-penalty", type=float, default=0.0,
+                   help="subtract from logits of any already-seen token")
+    p.add_argument("--frequency-penalty", type=float, default=0.0,
+                   help="subtract count-proportionally from seen tokens")
     p.add_argument("--decode-block", type=int, default=1,
                    help="decode steps per host dispatch (on-device scan; "
                         ">1 amortizes dispatch latency over K tokens)")
@@ -155,6 +159,8 @@ def main():
     eng = ServeEngine(model, params, max_batch=args.max_batch,
                       prompt_len=args.prompt_len, max_len=args.max_len,
                       temperature=args.temperature, top_p=args.top_p,
+                      presence_penalty=args.presence_penalty,
+                      frequency_penalty=args.frequency_penalty,
                       mesh=mesh,
                       cache_dtype=(jnp.int8 if args.kv_bits == 8
                                    else jnp.bfloat16),

@@ -133,6 +133,13 @@ class ServeEngine:
     # the nucleus get p=0 and are always rejected, so emitted tokens
     # follow exactly the filtered distribution).
     top_p: float = 1.0
+    # repetition control (OpenAI semantics): logits[t] -= presence·1[n_t>0]
+    # + frequency·n_t, with n_t the count of token t in that slot's prompt
+    # + generated text so far. Applies at any temperature (greedy included).
+    # Exclusive with spec_len (verification would need within-chunk count
+    # updates). 0.0 = off (the penalty math compiles away).
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     im_start_id: Optional[int] = None      # render generated image spans
     im_end_id: Optional[int] = None
     num_iter: int = 16                     # MaskGIT iterations per image
@@ -222,6 +229,9 @@ class ServeEngine:
             self._cache_valid = jax.device_put(self._cache_valid, rep)
         self._pos = jnp.zeros((b,), jnp.int32)
         self._cur_tok = jnp.full((b,), self.pad_id, jnp.int32)
+        # per-slot token counts over the vocab (repetition penalties);
+        # overwritten at admission, threaded through every decode graph
+        self._counts = jnp.zeros((b, cfg.vocab_size), jnp.int32)
         self._active = np.zeros((b,), bool)    # host-side scheduler state
         # host mirror of each row's physical write offset (cache.length).
         # pos (semantic position) undercounts it for padded prompts, so
@@ -230,25 +240,29 @@ class ServeEngine:
         self._len_host = np.zeros((b,), np.int64)
         self._rng = jax.random.PRNGKey(0)
 
+        pens = (self.presence_penalty, self.frequency_penalty)
         self._prefill = jax.jit(partial(self._prefill_impl, self.model,
                                         self.max_len, self.cache_dtype,
-                                        self.temperature, self.top_p))
+                                        self.temperature, self.top_p,
+                                        *pens, self.pad_id))
         self._prefill_text = jax.jit(partial(
             self._prefill_text_impl, self.model, self.max_len,
-            self.cache_dtype, self.temperature, self.top_p))
-        self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3))
+            self.cache_dtype, self.temperature, self.top_p, *pens,
+            self.pad_id))
+        self._insert = jax.jit(self._insert_impl,
+                               donate_argnums=(0, 1, 2, 3, 4))
         self._step = jax.jit(partial(self._step_impl, self.model,
-                                     self.temperature, self.top_p,
+                                     self.temperature, self.top_p, *pens,
                                      self.pad_id),
-                             donate_argnums=(1, 2, 3))
+                             donate_argnums=(1, 2, 3, 5))
         if self.decode_block < 1:
             raise ValueError("decode_block must be >= 1")
         if self.decode_block > 1:
             self._step_multi = jax.jit(
                 partial(self._step_multi_impl, self.model, self.temperature,
-                        self.top_p, self.pad_id, self.eos_id,
+                        self.top_p, *pens, self.pad_id, self.eos_id,
                         self.decode_block, self.max_len),
-                donate_argnums=(1, 2, 3))
+                donate_argnums=(1, 2, 3, 5))
         if self.prefill_chunk < 0:
             raise ValueError("prefill_chunk must be >= 0")
         if self.prefill_chunk > 0:
@@ -261,6 +275,11 @@ class ServeEngine:
             if self.decode_block > 1:
                 raise ValueError("spec_len and decode_block>1 are exclusive "
                                  "amortizations — pick one")
+            if self.presence_penalty or self.frequency_penalty:
+                raise ValueError("presence/frequency penalties are not "
+                                 "supported with speculative decoding "
+                                 "(verification would need within-chunk "
+                                 "count updates)")
             self._spec = jax.jit(
                 partial(self._spec_step_impl, self.model, self.pad_id,
                         self.temperature, self.top_p),
@@ -295,25 +314,51 @@ class ServeEngine:
         return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
     @staticmethod
+    def _penalize(logits, counts, presence, frequency):
+        # OpenAI-style repetition control; compiles away when both are 0
+        if presence == 0.0 and frequency == 0.0:
+            return logits
+        c = counts.astype(logits.dtype)
+        return (logits - presence * (c > 0).astype(logits.dtype)
+                - frequency * c)
+
+    @staticmethod
+    def _prompt_counts(ids, vocab, pad_id):
+        # per-row vocab counts of the real prompt tokens (pads and negative
+        # image/target sentinels excluded)
+        valid = (ids >= 0) & (ids != pad_id)
+        rows = jnp.broadcast_to(jnp.arange(ids.shape[0])[:, None], ids.shape)
+        return jnp.zeros((ids.shape[0], vocab), jnp.int32).at[
+            rows, jnp.clip(ids, 0)].add(valid.astype(jnp.int32))
+
+    @staticmethod
     def _prefill_impl(model, max_len, cache_dtype, temperature, top_p,
-                      params, ids, images, rng):
+                      presence, frequency, pad_id, params, ids, images, rng):
         logits, _, cache, cache_valid, _ = model.apply(
             params, ids, images, max_len, cache_dtype=cache_dtype,
             method=model.prefill)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
-        first = ServeEngine._sample(logits, temperature, top_p, rng)
-        return cache, cache_valid, next_pos, first
+        counts = ServeEngine._prompt_counts(ids, logits.shape[-1], pad_id)
+        first = ServeEngine._sample(
+            ServeEngine._penalize(logits, counts, presence, frequency),
+            temperature, top_p, rng)
+        counts = counts.at[jnp.arange(ids.shape[0]), first].add(1)
+        return cache, cache_valid, next_pos, first, counts
 
     @staticmethod
     def _prefill_text_impl(model, max_len, cache_dtype, temperature, top_p,
-                           params, ids, rng):
+                           presence, frequency, pad_id, params, ids, rng):
         # text-only fast path: never touches the vision tower
         logits, _, cache, cache_valid, _ = model.apply(
             params, ids, max_len, cache_dtype=cache_dtype,
             method=model.prefill_text)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
-        first = ServeEngine._sample(logits, temperature, top_p, rng)
-        return cache, cache_valid, next_pos, first
+        counts = ServeEngine._prompt_counts(ids, logits.shape[-1], pad_id)
+        first = ServeEngine._sample(
+            ServeEngine._penalize(logits, counts, presence, frequency),
+            temperature, top_p, rng)
+        counts = counts.at[jnp.arange(ids.shape[0]), first].add(1)
+        return cache, cache_valid, next_pos, first, counts
 
     @staticmethod
     def _chunk_impl(model, params, ids_chunk, cache, cache_valid, pos_off):
@@ -351,8 +396,14 @@ class ServeEngine:
             first_logits = sel if first_logits is None else jnp.where(
                 jnp.asarray(last_in_chunk)[:, None], sel, first_logits)
         next_pos = jnp.asarray(lens, jnp.int32)
-        first = self._sample(first_logits, self.temperature, self.top_p, rng)
-        return cache, cache_valid, next_pos, first
+        vocab = first_logits.shape[-1]
+        counts = self._prompt_counts(jnp.asarray(ids), vocab, self.pad_id)
+        first = self._sample(
+            self._penalize(first_logits, counts, self.presence_penalty,
+                           self.frequency_penalty),
+            self.temperature, self.top_p, rng)
+        counts = counts.at[jnp.arange(n), first].add(1)
+        return cache, cache_valid, next_pos, first, counts
 
     # ------------------------------------------------------------------
     # prefix caching (shared system-prompt KV reuse)
@@ -463,13 +514,22 @@ class ServeEngine:
             first_logits = sel if first_logits is None else jnp.where(
                 jnp.asarray(last_in_chunk)[:, None], sel, first_logits)
         next_pos = jnp.asarray(plen + lens, jnp.int32)
-        first = self._sample(first_logits, self.temperature, self.top_p,
-                             rng)
-        return cache, cache_valid, next_pos, first
+        vocab = first_logits.shape[-1]
+        pref = np.bincount([t for t in pkey if t >= 0 and t != self.pad_id],
+                           minlength=vocab).astype(np.int32)
+        counts = (jnp.asarray(pref)[None]
+                  + self._prompt_counts(jnp.asarray(suffix_ids), vocab,
+                                        self.pad_id))
+        first = self._sample(
+            self._penalize(first_logits, counts, self.presence_penalty,
+                           self.frequency_penalty),
+            self.temperature, self.top_p, rng)
+        counts = counts.at[jnp.arange(n), first].add(1)
+        return cache, cache_valid, next_pos, first, counts
 
     @staticmethod
-    def _insert_impl(cache, cache_valid, pos, cur_tok, slot,
-                     row_cache, row_valid, row_pos, row_tok):
+    def _insert_impl(cache, cache_valid, pos, cur_tok, counts, slot,
+                     row_cache, row_valid, row_pos, row_tok, row_counts):
         k = jax.lax.dynamic_update_slice(cache.k, row_cache.k,
                                          (0, slot, 0, 0, 0))
         v = jax.lax.dynamic_update_slice(cache.v, row_cache.v,
@@ -487,29 +547,35 @@ class ServeEngine:
         pos = jax.lax.dynamic_update_slice(pos, row_pos.astype(jnp.int32),
                                            (slot,))
         cur_tok = jax.lax.dynamic_update_slice(cur_tok, row_tok, (slot,))
+        counts = jax.lax.dynamic_update_slice(counts, row_counts, (slot, 0))
         return (KVCache(k, v, length, k_scale=ks, v_scale=vs),
-                cache_valid, pos, cur_tok)
+                cache_valid, pos, cur_tok, counts)
 
     @staticmethod
-    def _step_impl(model, temperature, top_p, pad_id, params, cache,
-                   cache_valid, pos, cur_tok, active, rng):
+    def _step_impl(model, temperature, top_p, presence, frequency, pad_id,
+                   params, cache, cache_valid, pos, cur_tok, counts, active,
+                   rng):
         logits, hidden, cache, cache_valid = model.apply(
             params, cur_tok[:, None], cache, cache_valid, pos,
             method=model.decode_step)
-        nxt = ServeEngine._sample(logits, temperature, top_p, rng)
+        nxt = ServeEngine._sample(
+            ServeEngine._penalize(logits, counts, presence, frequency),
+            temperature, top_p, rng)
         nxt = jnp.where(active, nxt, pad_id)
+        counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(
+            active.astype(jnp.int32))
         # decode_step already advanced every row's length by 1 (LlamaModel);
         # retired rows must not advance — undo theirs so their clamped
         # cache writes stay pinned and droppable
         pos = jnp.where(active, pos + 1, pos)
         length = jnp.where(active, cache.length, cache.length - 1)
         return (cache._replace(length=length), cache_valid, pos,
-                nxt, hidden)
+                nxt, counts, hidden)
 
     @staticmethod
-    def _step_multi_impl(model, temperature, top_p, pad_id, eos_id, steps,
-                         max_len, params, cache, cache_valid, pos, cur_tok,
-                         active, rng):
+    def _step_multi_impl(model, temperature, top_p, presence, frequency,
+                         pad_id, eos_id, steps, max_len, params, cache,
+                         cache_valid, pos, cur_tok, counts, active, rng):
         """`steps` decode steps as one on-device scan (one host dispatch).
 
         Per-step semantics match `_step_impl`; additionally a slot's active
@@ -520,24 +586,29 @@ class ServeEngine:
         active-at-entry trace the host uses to attribute tokens to slots.
         """
         def body(carry, rk):
-            cache, cache_valid, pos, cur_tok, active = carry
+            cache, cache_valid, pos, cur_tok, counts, active = carry
             logits, hidden, cache, cache_valid = model.apply(
                 params, cur_tok[:, None], cache, cache_valid, pos,
                 method=model.decode_step)
-            nxt = ServeEngine._sample(logits, temperature, top_p, rk)
+            nxt = ServeEngine._sample(
+                ServeEngine._penalize(logits, counts, presence, frequency),
+                temperature, top_p, rk)
             nxt = jnp.where(active, nxt, pad_id)
+            counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(
+                active.astype(jnp.int32))
             new_pos = jnp.where(active, pos + 1, pos)
             length = jnp.where(active, cache.length, cache.length - 1)
             new_active = active & (nxt != eos_id) & (new_pos < max_len - 1)
             carry = (cache._replace(length=length), cache_valid,
-                     new_pos, nxt, new_active)
+                     new_pos, nxt, counts, new_active)
             return carry, (nxt, hidden, active)
 
-        carry = (cache, cache_valid, pos, cur_tok, active)
+        carry = (cache, cache_valid, pos, cur_tok, counts, active)
         carry, (toks, hiddens, act_in) = jax.lax.scan(
             body, carry, jax.random.split(rng, steps))
-        cache, cache_valid, pos, cur_tok, _ = carry
-        return cache, cache_valid, pos, cur_tok, toks, hiddens, act_in
+        cache, cache_valid, pos, cur_tok, counts, _ = carry
+        return (cache, cache_valid, pos, cur_tok, counts, toks, hiddens,
+                act_in)
 
     @staticmethod
     def _spec_step_impl(model, pad_id, temperature, top_p, params, cache,
@@ -706,7 +777,7 @@ class ServeEngine:
             if not (block or fut.done()):
                 still.append((batch_reqs, slots, fut))
                 continue
-            row_cache, row_valid, row_pos, first = fut.result()
+            row_cache, row_valid, row_pos, first, row_counts = fut.result()
             firsts = np.asarray(first)
             for i, (req, slot) in enumerate(zip(batch_reqs, slots)):
                 # length is the scalar write offset (= prompt_len), shared
@@ -719,10 +790,12 @@ class ServeEngine:
                              v_scale=(None if row_cache.v_scale is None
                                       else row_cache.v_scale[:, i:i + 1]))
                 (self._cache, self._cache_valid, self._pos,
-                 self._cur_tok) = self._insert(
+                 self._cur_tok, self._counts) = self._insert(
                     self._cache, self._cache_valid, self._pos,
-                    self._cur_tok, jnp.asarray(slot, jnp.int32), rc,
-                    row_valid[i:i + 1], row_pos[i:i + 1], first[i:i + 1])
+                    self._cur_tok, self._counts,
+                    jnp.asarray(slot, jnp.int32), rc,
+                    row_valid[i:i + 1], row_pos[i:i + 1], first[i:i + 1],
+                    row_counts[i:i + 1])
                 self._active[slot] = True
                 self._len_host[slot] = int(row_cache.length)
                 self._emit(req, int(firsts[i]))
@@ -834,9 +907,9 @@ class ServeEngine:
         if self.decode_block > 1:
             return self._step_block(k)
         (self._cache, self._cache_valid, self._pos, self._cur_tok,
-         hidden) = self._step(self.params, self._cache, self._cache_valid,
-                              self._pos, self._cur_tok,
-                              jnp.asarray(self._active), k)
+         self._counts, hidden) = self._step(
+            self.params, self._cache, self._cache_valid, self._pos,
+            self._cur_tok, self._counts, jnp.asarray(self._active), k)
         toks = np.asarray(self._cur_tok)
         hid = np.asarray(hidden)
         for slot in range(self.max_batch):
@@ -865,9 +938,9 @@ class ServeEngine:
         """
         pos_before = np.asarray(self._pos)
         (self._cache, self._cache_valid, self._pos, self._cur_tok,
-         toks, hiddens, act_in) = self._step_multi(
+         self._counts, toks, hiddens, act_in) = self._step_multi(
             self.params, self._cache, self._cache_valid, self._pos,
-            self._cur_tok, jnp.asarray(self._active), rng)
+            self._cur_tok, self._counts, jnp.asarray(self._active), rng)
         toks = np.asarray(toks)
         hid = np.asarray(hiddens)
         act = np.asarray(act_in)

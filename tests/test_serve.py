@@ -157,11 +157,11 @@ def test_first_token_respects_temperature(model_and_params):
     hot_eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
                           max_len=L + 4, eos_id=2, pad_id=0,
                           temperature=8.0)
-    _, _, _, greedy = greedy_eng._prefill_text(
+    _, _, _, greedy, _ = greedy_eng._prefill_text(
         params, jnp.asarray(ids), jax.random.PRNGKey(0))
     firsts = set()
     for seed in range(6):
-        _, _, _, first = hot_eng._prefill_text(
+        _, _, _, first, _ = hot_eng._prefill_text(
             params, jnp.asarray(ids), jax.random.PRNGKey(seed))
         firsts.add(int(first[0]))
     # 6 draws at T=8 over a ~512-way near-uniform distribution: all equal
@@ -621,3 +621,46 @@ def test_stats_and_request_timing(model_and_params):
     for r in reqs:
         assert r.t_submit is not None and r.ttft is not None
         assert r.ttft >= 0 and r.latency >= r.ttft
+
+
+def test_repetition_penalties(model_and_params):
+    """presence_penalty large enough suppresses every already-seen token:
+    emitted tokens are distinct from each other AND from the prompt, in
+    single-step, decode_block, and chunked-prefill decode; counts reset on
+    slot reuse; spec_len combination is rejected."""
+    model, params = model_and_params
+    ids, img = make_prompt(7)
+    prompt_toks = {int(t) for t in ids if t > 0}
+
+    def run(n=6, image=img, **kw):
+        eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                          max_len=L + 16, eos_id=2, pad_id=0,
+                          presence_penalty=1e9, **kw)
+        r = eng.submit(ids, image=image, max_new_tokens=n)
+        eng.run()
+        return eng, r.tokens
+
+    def check(toks):
+        assert len(set(toks)) == len(toks), f"repeat in {toks}"
+        assert not (set(toks) & prompt_toks), "prompt token re-emitted"
+
+    _, t1 = run()
+    check(t1)
+    _, t3 = run(decode_block=3)
+    assert t3 == t1                       # block path matches single-step
+    _, tc = run(image=None, prefill_chunk=8)
+    check(tc)                             # chunked admission seeds counts
+
+    # slot reuse: two identical requests through one slot → identical
+    # streams (fresh counts at the second admission)
+    eng = ServeEngine(model, params, max_batch=1, prompt_len=L,
+                      max_len=L + 16, eos_id=2, pad_id=0,
+                      presence_penalty=1e9)
+    ra = eng.submit(ids, image=img, max_new_tokens=5)
+    rb = eng.submit(ids, image=img, max_new_tokens=5)
+    eng.run()
+    assert ra.tokens == rb.tokens == t1[:5]
+
+    with pytest.raises(ValueError, match="penalties"):
+        ServeEngine(model, params, max_batch=1, prompt_len=L,
+                    max_len=L + 16, spec_len=2, presence_penalty=0.5)
