@@ -80,6 +80,12 @@ class Request:
     # token (including the first, at admission). Runs on the engine's
     # scheduling thread — keep it cheap; exceptions propagate to step().
     on_token: Optional[Any] = None
+    # per-request sampling overrides (engine must be constructed with
+    # per_request_sampling=True); None = the engine-wide default
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
     # results
     tokens: List[int] = dataclasses.field(default_factory=list)
     images_out: List[np.ndarray] = dataclasses.field(default_factory=list)
@@ -140,6 +146,13 @@ class ServeEngine:
     # updates). 0.0 = off (the penalty math compiles away).
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # per-request sampling: compile the decode graphs over traced (B,)
+    # temperature/top_p/penalty vectors instead of baked-in scalars, so
+    # each submit() may override any of them (vLLM-style). Off by default:
+    # the static graphs skip the nucleus sort entirely at temperature 0.
+    # Exclusive with spec_len (mixed greedy/sampled rows cannot share one
+    # rejection-sampling chunk).
+    per_request_sampling: bool = False
     im_start_id: Optional[int] = None      # render generated image spans
     im_end_id: Optional[int] = None
     num_iter: int = 16                     # MaskGIT iterations per image
@@ -232,6 +245,12 @@ class ServeEngine:
         # per-slot token counts over the vocab (repetition penalties);
         # overwritten at admission, threaded through every decode graph
         self._counts = jnp.zeros((b, cfg.vocab_size), jnp.int32)
+        # per-slot sampling params (per_request_sampling mode): host
+        # mirrors, set at admission, shipped as (B,) args per dispatch
+        self._t_np = np.full((b,), self.temperature, np.float32)
+        self._tp_np = np.full((b,), self.top_p, np.float32)
+        self._pp_np = np.full((b,), self.presence_penalty, np.float32)
+        self._fp_np = np.full((b,), self.frequency_penalty, np.float32)
         self._active = np.zeros((b,), bool)    # host-side scheduler state
         # host mirror of each row's physical write offset (cache.length).
         # pos (semantic position) undercounts it for padded prompts, so
@@ -240,26 +259,29 @@ class ServeEngine:
         self._len_host = np.zeros((b,), np.int64)
         self._rng = jax.random.PRNGKey(0)
 
+        # per_request_sampling binds temperature=None into the graphs —
+        # the impls then read the traced (B,) `samp` vectors instead
+        t_static = None if self.per_request_sampling else self.temperature
         pens = (self.presence_penalty, self.frequency_penalty)
         self._prefill = jax.jit(partial(self._prefill_impl, self.model,
                                         self.max_len, self.cache_dtype,
-                                        self.temperature, self.top_p,
+                                        t_static, self.top_p,
                                         *pens, self.pad_id))
         self._prefill_text = jax.jit(partial(
             self._prefill_text_impl, self.model, self.max_len,
-            self.cache_dtype, self.temperature, self.top_p, *pens,
+            self.cache_dtype, t_static, self.top_p, *pens,
             self.pad_id))
         self._insert = jax.jit(self._insert_impl,
                                donate_argnums=(0, 1, 2, 3, 4))
         self._step = jax.jit(partial(self._step_impl, self.model,
-                                     self.temperature, self.top_p, *pens,
+                                     t_static, self.top_p, *pens,
                                      self.pad_id),
                              donate_argnums=(1, 2, 3, 5))
         if self.decode_block < 1:
             raise ValueError("decode_block must be >= 1")
         if self.decode_block > 1:
             self._step_multi = jax.jit(
-                partial(self._step_multi_impl, self.model, self.temperature,
+                partial(self._step_multi_impl, self.model, t_static,
                         self.top_p, *pens, self.pad_id, self.eos_id,
                         self.decode_block, self.max_len),
                 donate_argnums=(1, 2, 3, 5))
@@ -280,6 +302,10 @@ class ServeEngine:
                                  "supported with speculative decoding "
                                  "(verification would need within-chunk "
                                  "count updates)")
+            if self.per_request_sampling:
+                raise ValueError("per_request_sampling is not supported "
+                                 "with speculative decoding (mixed rows "
+                                 "cannot share one rejection chunk)")
             self._spec = jax.jit(
                 partial(self._spec_step_impl, self.model, self.pad_id,
                         self.temperature, self.top_p),
@@ -332,31 +358,55 @@ class ServeEngine:
             rows, jnp.clip(ids, 0)].add(valid.astype(jnp.int32))
 
     @staticmethod
+    def _sample_rows(logits, counts, samp, rng):
+        # per-request sampling path: samp = ((B,) temperature, top_p,
+        # presence, frequency) traced vectors; greedy rows take the argmax
+        # of the penalized logits, sampled rows the filtered categorical
+        t, tp, pres, freq = samp
+        c = counts.astype(logits.dtype)
+        logits = (logits - pres[:, None] * (c > 0).astype(logits.dtype)
+                  - freq[:, None] * c)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / jnp.maximum(t, 1e-6)[:, None]
+        filtered = _top_p_filter(scaled, tp[:, None])
+        sampled = jax.random.categorical(rng, filtered,
+                                         axis=-1).astype(jnp.int32)
+        return jnp.where(t > 0.0, sampled, greedy)
+
+    @staticmethod
     def _prefill_impl(model, max_len, cache_dtype, temperature, top_p,
-                      presence, frequency, pad_id, params, ids, images, rng):
+                      presence, frequency, pad_id, params, ids, images, rng,
+                      samp=None):
         logits, _, cache, cache_valid, _ = model.apply(
             params, ids, images, max_len, cache_dtype=cache_dtype,
             method=model.prefill)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
         counts = ServeEngine._prompt_counts(ids, logits.shape[-1], pad_id)
-        first = ServeEngine._sample(
-            ServeEngine._penalize(logits, counts, presence, frequency),
-            temperature, top_p, rng)
+        if temperature is None:
+            first = ServeEngine._sample_rows(logits, counts, samp, rng)
+        else:
+            first = ServeEngine._sample(
+                ServeEngine._penalize(logits, counts, presence, frequency),
+                temperature, top_p, rng)
         counts = counts.at[jnp.arange(ids.shape[0]), first].add(1)
         return cache, cache_valid, next_pos, first, counts
 
     @staticmethod
     def _prefill_text_impl(model, max_len, cache_dtype, temperature, top_p,
-                           presence, frequency, pad_id, params, ids, rng):
+                           presence, frequency, pad_id, params, ids, rng,
+                           samp=None):
         # text-only fast path: never touches the vision tower
         logits, _, cache, cache_valid, _ = model.apply(
             params, ids, max_len, cache_dtype=cache_dtype,
             method=model.prefill_text)
         next_pos = jnp.sum(cache_valid.astype(jnp.int32), axis=1)
         counts = ServeEngine._prompt_counts(ids, logits.shape[-1], pad_id)
-        first = ServeEngine._sample(
-            ServeEngine._penalize(logits, counts, presence, frequency),
-            temperature, top_p, rng)
+        if temperature is None:
+            first = ServeEngine._sample_rows(logits, counts, samp, rng)
+        else:
+            first = ServeEngine._sample(
+                ServeEngine._penalize(logits, counts, presence, frequency),
+                temperature, top_p, rng)
         counts = counts.at[jnp.arange(ids.shape[0]), first].add(1)
         return cache, cache_valid, next_pos, first, counts
 
@@ -365,7 +415,7 @@ class ServeEngine:
         return model.apply(params, ids_chunk, cache, cache_valid, pos_off,
                            method=model.prefill_text_chunk)
 
-    def _prefill_text_chunked(self, params, ids, lens, rng):
+    def _prefill_text_chunked(self, params, ids, lens, rng, samp=None):
         """Chunked text-only prefill (worker thread): same return contract
         as `_prefill_text_impl` — (row_cache, row_valid, next_pos, first).
 
@@ -398,10 +448,13 @@ class ServeEngine:
         next_pos = jnp.asarray(lens, jnp.int32)
         vocab = first_logits.shape[-1]
         counts = self._prompt_counts(jnp.asarray(ids), vocab, self.pad_id)
-        first = self._sample(
-            self._penalize(first_logits, counts, self.presence_penalty,
-                           self.frequency_penalty),
-            self.temperature, self.top_p, rng)
+        if samp is not None:
+            first = self._sample_rows(first_logits, counts, samp, rng)
+        else:
+            first = self._sample(
+                self._penalize(first_logits, counts, self.presence_penalty,
+                               self.frequency_penalty),
+                self.temperature, self.top_p, rng)
         counts = counts.at[jnp.arange(n), first].add(1)
         return cache, cache_valid, next_pos, first, counts
 
@@ -471,7 +524,7 @@ class ServeEngine:
         return best
 
     def _prefill_text_prefixed(self, params, suffix_ids, suffix_lens,
-                               pkey, rng):
+                               pkey, rng, samp=None):
         """Prefix-cached admission (worker thread): broadcast the
         registered prefix slab to n rows, then drive the chunk graph over
         suffix chunks only. Same return contract as `_prefill_text_impl`.
@@ -520,10 +573,13 @@ class ServeEngine:
         counts = (jnp.asarray(pref)[None]
                   + self._prompt_counts(jnp.asarray(suffix_ids), vocab,
                                         self.pad_id))
-        first = self._sample(
-            self._penalize(first_logits, counts, self.presence_penalty,
-                           self.frequency_penalty),
-            self.temperature, self.top_p, rng)
+        if samp is not None:
+            first = self._sample_rows(first_logits, counts, samp, rng)
+        else:
+            first = self._sample(
+                self._penalize(first_logits, counts, self.presence_penalty,
+                               self.frequency_penalty),
+                self.temperature, self.top_p, rng)
         counts = counts.at[jnp.arange(n), first].add(1)
         return cache, cache_valid, next_pos, first, counts
 
@@ -554,13 +610,16 @@ class ServeEngine:
     @staticmethod
     def _step_impl(model, temperature, top_p, presence, frequency, pad_id,
                    params, cache, cache_valid, pos, cur_tok, counts, active,
-                   rng):
+                   rng, samp=None):
         logits, hidden, cache, cache_valid = model.apply(
             params, cur_tok[:, None], cache, cache_valid, pos,
             method=model.decode_step)
-        nxt = ServeEngine._sample(
-            ServeEngine._penalize(logits, counts, presence, frequency),
-            temperature, top_p, rng)
+        if temperature is None:
+            nxt = ServeEngine._sample_rows(logits, counts, samp, rng)
+        else:
+            nxt = ServeEngine._sample(
+                ServeEngine._penalize(logits, counts, presence, frequency),
+                temperature, top_p, rng)
         nxt = jnp.where(active, nxt, pad_id)
         counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(
             active.astype(jnp.int32))
@@ -575,7 +634,8 @@ class ServeEngine:
     @staticmethod
     def _step_multi_impl(model, temperature, top_p, presence, frequency,
                          pad_id, eos_id, steps, max_len, params, cache,
-                         cache_valid, pos, cur_tok, counts, active, rng):
+                         cache_valid, pos, cur_tok, counts, active, rng,
+                         samp=None):
         """`steps` decode steps as one on-device scan (one host dispatch).
 
         Per-step semantics match `_step_impl`; additionally a slot's active
@@ -590,9 +650,13 @@ class ServeEngine:
             logits, hidden, cache, cache_valid = model.apply(
                 params, cur_tok[:, None], cache, cache_valid, pos,
                 method=model.decode_step)
-            nxt = ServeEngine._sample(
-                ServeEngine._penalize(logits, counts, presence, frequency),
-                temperature, top_p, rk)
+            if temperature is None:
+                nxt = ServeEngine._sample_rows(logits, counts, samp, rk)
+            else:
+                nxt = ServeEngine._sample(
+                    ServeEngine._penalize(logits, counts, presence,
+                                          frequency),
+                    temperature, top_p, rk)
             nxt = jnp.where(active, nxt, pad_id)
             counts = counts.at[jnp.arange(counts.shape[0]), nxt].add(
                 active.astype(jnp.int32))
@@ -659,13 +723,33 @@ class ServeEngine:
 
     # ------------------------------------------------------------------
     def submit(self, prompt_ids, image=None, max_new_tokens: int = 64,
-               stopping=None, on_token=None) -> Request:
+               stopping=None, on_token=None, temperature=None, top_p=None,
+               presence_penalty=None, frequency_penalty=None) -> Request:
+        overrides = (temperature, top_p, presence_penalty, frequency_penalty)
+        if any(o is not None for o in overrides) \
+                and not self.per_request_sampling:
+            raise ValueError("per-request sampling overrides require "
+                             "ServeEngine(per_request_sampling=True)")
         req = Request(prompt_ids=np.asarray(prompt_ids, np.int32),
                       image=image, max_new_tokens=max_new_tokens,
                       stopping=stopping, on_token=on_token,
+                      temperature=temperature, top_p=top_p,
+                      presence_penalty=presence_penalty,
+                      frequency_penalty=frequency_penalty,
                       t_submit=time.monotonic())
         self._queue.put(req)
         return req
+
+    def _samp_of(self, reqs) -> Tuple:
+        """(n,) sampling vectors for a batch of admitted requests."""
+        pick = lambda v, d: np.asarray(
+            [d if getattr(r, v) is None else getattr(r, v) for r in reqs],
+            np.float32)
+        return (jnp.asarray(pick("temperature", self.temperature)),
+                jnp.asarray(pick("top_p", self.top_p)),
+                jnp.asarray(pick("presence_penalty", self.presence_penalty)),
+                jnp.asarray(pick("frequency_penalty",
+                                 self.frequency_penalty)))
 
     def _emit(self, req: Request, tok: int) -> None:
         req.tokens.append(tok)
@@ -724,6 +808,8 @@ class ServeEngine:
                 self._slots[s] = r           # reserved (not active yet)
             n = len(batch_reqs)
             self._rng, rk = jax.random.split(self._rng)
+            samp = (self._samp_of(batch_reqs)
+                    if self.per_request_sampling else None)
             if pkey is not None:
                 # prefix-cached admit: only the suffix runs the trunk
                 self._prefixes.move_to_end(pkey)   # LRU refresh
@@ -737,7 +823,7 @@ class ServeEngine:
                     ids[i, :len(p)] = p
                 fut = self._prefill_pool.submit(
                     self._prefill_text_prefixed, self.params,
-                    jnp.asarray(ids), lens, pkey, rk)
+                    jnp.asarray(ids), lens, pkey, rk, samp)
                 self._pending.append((batch_reqs, slots, fut))
                 continue
             if self.prefill_chunk > 0 and not has_image:
@@ -753,7 +839,7 @@ class ServeEngine:
                     ids[i, :len(p)] = p
                 fut = self._prefill_pool.submit(
                     self._prefill_text_chunked, self.params,
-                    jnp.asarray(ids), lens, rk)
+                    jnp.asarray(ids), lens, rk, samp)
                 self._pending.append((batch_reqs, slots, fut))
                 continue
             ids = np.full((n, self.prompt_len), self.pad_id, np.int32)
@@ -764,10 +850,12 @@ class ServeEngine:
                 images = jnp.asarray(
                     np.stack([r.image for r in batch_reqs]), jnp.float32)
                 fut = self._prefill_pool.submit(
-                    self._prefill, self.params, jnp.asarray(ids), images, rk)
+                    self._prefill, self.params, jnp.asarray(ids), images,
+                    rk, samp)
             else:
                 fut = self._prefill_pool.submit(
-                    self._prefill_text, self.params, jnp.asarray(ids), rk)
+                    self._prefill_text, self.params, jnp.asarray(ids), rk,
+                    samp)
             self._pending.append((batch_reqs, slots, fut))
 
     def _harvest_prefills(self, block: bool = False) -> None:
@@ -798,6 +886,18 @@ class ServeEngine:
                     row_counts[i:i + 1])
                 self._active[slot] = True
                 self._len_host[slot] = int(row_cache.length)
+                if self.per_request_sampling:
+                    self._t_np[slot] = (self.temperature
+                                        if req.temperature is None
+                                        else req.temperature)
+                    self._tp_np[slot] = (self.top_p if req.top_p is None
+                                         else req.top_p)
+                    self._pp_np[slot] = (self.presence_penalty
+                                         if req.presence_penalty is None
+                                         else req.presence_penalty)
+                    self._fp_np[slot] = (self.frequency_penalty
+                                         if req.frequency_penalty is None
+                                         else req.frequency_penalty)
                 self._emit(req, int(firsts[i]))
                 # the admission token counts against the same stops as
                 # decode tokens — a max_new_tokens=1 request retires HERE
@@ -906,10 +1006,14 @@ class ServeEngine:
             return self._step_spec(k)
         if self.decode_block > 1:
             return self._step_block(k)
+        samp = (tuple(jnp.asarray(a) for a in
+                      (self._t_np, self._tp_np, self._pp_np, self._fp_np))
+                if self.per_request_sampling else None)
         (self._cache, self._cache_valid, self._pos, self._cur_tok,
          self._counts, hidden) = self._step(
             self.params, self._cache, self._cache_valid, self._pos,
-            self._cur_tok, self._counts, jnp.asarray(self._active), k)
+            self._cur_tok, self._counts, jnp.asarray(self._active), k,
+            samp)
         toks = np.asarray(self._cur_tok)
         hid = np.asarray(hidden)
         for slot in range(self.max_batch):
@@ -937,10 +1041,14 @@ class ServeEngine:
         its next admission splice, so the overshoot costs only device time.
         """
         pos_before = np.asarray(self._pos)
+        samp = (tuple(jnp.asarray(a) for a in
+                      (self._t_np, self._tp_np, self._pp_np, self._fp_np))
+                if self.per_request_sampling else None)
         (self._cache, self._cache_valid, self._pos, self._cur_tok,
          self._counts, toks, hiddens, act_in) = self._step_multi(
             self.params, self._cache, self._cache_valid, self._pos,
-            self._cur_tok, self._counts, jnp.asarray(self._active), rng)
+            self._cur_tok, self._counts, jnp.asarray(self._active), rng,
+            samp)
         toks = np.asarray(toks)
         hid = np.asarray(hiddens)
         act = np.asarray(act_in)

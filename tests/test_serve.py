@@ -664,3 +664,52 @@ def test_repetition_penalties(model_and_params):
     with pytest.raises(ValueError, match="penalties"):
         ServeEngine(model, params, max_batch=1, prompt_len=L,
                     max_len=L + 16, spec_len=2, presence_penalty=0.5)
+
+
+def test_per_request_sampling(model_and_params):
+    """per_request_sampling=True compiles (B,) sampling-param vectors into
+    the decode graphs: default submits reproduce the static greedy engine,
+    a hot sibling doesn't perturb a greedy row, per-request penalties bind
+    to their slot only, and overrides on a static engine are rejected."""
+    model, params = model_and_params
+    prompts, images = zip(*[make_prompt(s) for s in range(2)])
+
+    def engine(**kw):
+        return ServeEngine(model, params, max_batch=2, prompt_len=L,
+                           max_len=L + 10, eos_id=2, pad_id=0, **kw)
+
+    eng_s = engine()
+    base = [eng_s.submit(p, image=im, max_new_tokens=6)
+            for p, im in zip(prompts, images)]
+    eng_s.run()
+
+    eng_v = engine(per_request_sampling=True)
+    vec = [eng_v.submit(p, image=im, max_new_tokens=6)
+           for p, im in zip(prompts, images)]
+    eng_v.run()
+    assert [r.tokens for r in vec] == [r.tokens for r in base]
+
+    eng_m = engine(per_request_sampling=True)
+    r0 = eng_m.submit(prompts[0], image=images[0], max_new_tokens=6)
+    r1 = eng_m.submit(prompts[1], image=images[1], max_new_tokens=6,
+                      temperature=8.0)
+    eng_m.run()
+    assert r0.tokens == base[0].tokens      # greedy row unaffected
+    assert r1.done and 1 <= len(r1.tokens) <= 6
+
+    eng_p = engine(per_request_sampling=True)
+    rp = eng_p.submit(prompts[0], image=images[0], max_new_tokens=6,
+                      presence_penalty=1e9)
+    rq = eng_p.submit(prompts[1], image=images[1], max_new_tokens=6)
+    eng_p.run()
+    assert len(set(rp.tokens)) == len(rp.tokens)
+    assert rq.tokens == base[1].tokens      # sibling stays default
+
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        eng_s.submit(prompts[0], temperature=0.5)
+
+    eng_b = engine(per_request_sampling=True, decode_block=3)
+    blk = [eng_b.submit(p, image=im, max_new_tokens=6)
+           for p, im in zip(prompts, images)]
+    eng_b.run()
+    assert [r.tokens for r in blk] == [r.tokens for r in base]
