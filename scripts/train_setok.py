@@ -67,6 +67,12 @@ def parse_args():
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=8,
+                   help="batch-assembly worker threads (real-data path; "
+                        "native preprocessing releases the GIL, so ~8 "
+                        "keep a v5e chip fed — perf/data_bench.py)")
+    p.add_argument("--no-native-preprocess", action="store_true",
+                   help="PIL instead of the C++ fused resize+normalize")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs)")
     from setok_tpu.utils.compile_cache import add_cli_flag
@@ -153,25 +159,32 @@ def main():
 
         vocab = 32000   # stage-1 text only feeds the contrastive tower
         records = load_cc3m(args.data_path, args.image_folder)
+        native = not args.no_native_preprocess
         ds = TextImagePairDataset(
             records, load_text_tokenizer(args.tokenizer, vocab_size=vocab), contrastive_tokenizer=load_text_tokenizer(args.tokenizer, vocab_size=vocab),
             task_type=args.task_type,
-            image_processor=ImageProcessor(size=args.image_size),
-            gen_processor=GeneratorImageProcessor(size=args.image_size))
+            image_processor=ImageProcessor(size=args.image_size,
+                                           use_native=native),
+            gen_processor=GeneratorImageProcessor(size=args.image_size,
+                                                  use_native=native))
         col = Collator(max_len=77, k_max=tok_cfg.k_max)
-        order = np.random.RandomState(args.seed).permutation(len(ds))
+        # threaded batch assembly (data/loader.py BatchLoader — the torch
+        # DataLoader role): item decode/resize runs on num_workers threads
+        # (native preprocessing releases the GIL), epochs reshuffle by seed
+        from setok_tpu.data.loader import BatchLoader
+        loader = BatchLoader(ds, args.batch_size, col,
+                             num_workers=args.num_workers, seed=args.seed)
 
         def batches():
-            i = 0
+            epoch = 0
             while True:
-                idx = [int(order[(i + j) % len(ds)])
-                       for j in range(args.batch_size)]
-                i += args.batch_size
-                b = col([ds[j] for j in idx])
-                # jitted step takes arrays only (passthrough keys like
-                # 'caption' stay host-side)
-                yield {k: v for k, v in b.items()
-                       if isinstance(v, np.ndarray)}
+                loader.seed = args.seed + epoch
+                for b in loader:
+                    # jitted step takes arrays only (passthrough keys like
+                    # 'caption' stay host-side)
+                    yield {k: v for k, v in b.items()
+                           if isinstance(v, np.ndarray)}
+                epoch += 1
         host_batches = batches()
 
     mesh = make_mesh()

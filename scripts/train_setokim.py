@@ -86,6 +86,10 @@ def parse_args():
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=8,
+                   help="batch-assembly worker threads (real-data path)")
+    p.add_argument("--no-native-preprocess", action="store_true",
+                   help="PIL instead of the C++ fused resize+normalize")
     from setok_tpu.utils.compile_cache import add_cli_flag
     add_cli_flag(p)
     return p.parse_args()
@@ -196,8 +200,11 @@ def main():
         from setok_tpu.data.tokenizer import load_text_tokenizer
 
         size = cfg.tokenizer.vit.image_size
-        kw = dict(image_processor=ImageProcessor(size=size),
-                  gen_processor=GeneratorImageProcessor(size=size),
+        native = not args.no_native_preprocess
+        kw = dict(image_processor=ImageProcessor(size=size,
+                                                 use_native=native),
+                  gen_processor=GeneratorImageProcessor(size=size,
+                                                        use_native=native),
                   target_num=cfg.target_num)
         if args.task_type == "pair":
             ds = TextImagePairDataset(load_cc3m(args.data_path[0]),
@@ -214,17 +221,18 @@ def main():
                 data_multiple=args.data_multiple, **kw)
         col = Collator(max_len=args.model_max_length,
                        k_max=cfg.tokenizer.k_max)
-        order = rs.permutation(len(ds))
+        from setok_tpu.data.loader import BatchLoader
+        loader = BatchLoader(ds, args.batch_size, col,
+                             num_workers=args.num_workers, seed=args.seed)
 
         def batches():
-            i = 0
+            epoch = 0
             while True:
-                idx = [int(order[(i + j) % len(ds)])
-                       for j in range(args.batch_size)]
-                i += args.batch_size
-                b = col([ds[j] for j in idx])
-                yield {k: v for k, v in b.items()
-                       if isinstance(v, np.ndarray)}
+                loader.seed = args.seed + epoch
+                for b in loader:
+                    yield {k: v for k, v in b.items()
+                           if isinstance(v, np.ndarray)}
+                epoch += 1
         host_batches = batches()
 
     bs = data_sharding(mesh)
