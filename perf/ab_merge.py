@@ -1,0 +1,84 @@
+"""A/B: token-merge (smaller-N) tokenizer variant vs the headline config.
+
+VERDICT r2 / PERF.md conclusion: 5k img/s at ViT-B int8 N=256 exceeds the
+chip's int8 peak — "a smaller-N architecture" is one of the two honest
+routes. This measures it: ViTConfig.merge_layer folds the 16x16 patch grid
+to 8x8 after `merge_layer+1` blocks, so (depth - merge_layer - 1) encoder
+blocks, DPC-KNN clustering, and both tokenizer transformers run at N=64.
+
+Quality is NOT free — the variant trains its own checkpoint (see PERF.md
+"token-merge" for the synthetic-recipe PSNR deltas measured with
+scripts/train_setok.py --merge-layer + scripts/eval_recon.py).
+
+Timing methodology = bench.py (chained scan, slope between two lengths).
+"""
+
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from setok_tpu import config as cfgs
+from setok_tpu.models.setok import SeTok
+
+BATCH = 64
+ITERS_SMALL = 2
+ITERS_BIG = 22
+
+
+def measure(tok_cfg, det_cfg, quant8=True):
+    model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16,
+                  param_dtype=jnp.float32, quant8=quant8)
+    rng = jax.random.PRNGKey(0)
+    shape = (BATCH, tok_cfg.vit.image_size, tok_cfg.vit.image_size, 3)
+    params = model.init(rng, jax.random.uniform(
+        rng, (1,) + shape[1:], jnp.float32, -1.0, 1.0))
+
+    def chained(params, images, iters):
+        def body(x, _):
+            out = model.apply(params, x)
+            r = jnp.clip(out.recon, -1, 1).astype(x.dtype)
+            nxt = r if r.shape == x.shape else x + jnp.mean(r)
+            return nxt, jnp.sum(out.num_clusters)
+        _, ncs = jax.lax.scan(body, images, None, length=iters)
+        return jnp.sum(ncs)
+
+    fn = jax.jit(chained, static_argnums=2)
+
+    def timed(iters, seed):
+        imgs = jax.random.uniform(jax.random.PRNGKey(seed), shape,
+                                  jnp.float32, -1.0, 1.0)
+        t0 = time.perf_counter()
+        float(fn(params, imgs, iters))
+        return time.perf_counter() - t0
+
+    timed(ITERS_SMALL, 100)
+    timed(ITERS_BIG, 101)
+    t_small = min(timed(ITERS_SMALL, 1), timed(ITERS_SMALL, 2))
+    t_big = min(timed(ITERS_BIG, 3), timed(ITERS_BIG, 4))
+    return BATCH * (ITERS_BIG - ITERS_SMALL) / (t_big - t_small)
+
+
+def merged_cfgs(merge_layer=3, k_max=48, knn=32):
+    tok = cfgs.base_tokenizer()
+    vit = dataclasses.replace(tok.vit, merge_layer=merge_layer)
+    tok = dataclasses.replace(tok, vit=vit, k_max=k_max, knn=knn)
+    # the detokenizer consumes (B, k_max, D) + validity mask — its own query
+    # count is grid², independent of k_max
+    return tok, cfgs.base_detokenizer()
+
+
+def main():
+    base = measure(cfgs.base_tokenizer(), cfgs.base_detokenizer())
+    print(f"baseline (N=256, k_max=80): {base:.1f} img/s", file=sys.stderr)
+    for ml in (1, 3, 5):
+        tok, det = merged_cfgs(merge_layer=ml)
+        v = measure(tok, det)
+        print(f"merge_layer={ml} (N=64 after block {ml}, k_max=48): "
+              f"{v:.1f} img/s ({v / base:.2f}x)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

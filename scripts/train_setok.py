@@ -103,7 +103,8 @@ def main():
     else:
         tok_cfg = cfgs.replace(
             cfgs.base_tokenizer(),
-            vit=cfgs.replace(cfgs.ViTConfig(), image_size=args.image_size),
+            vit=cfgs.replace(cfgs.ViTConfig(), image_size=args.image_size,
+                             merge_layer=args.merge_layer),
             min_cluster_num=args.min_cluster_num,
             threshold=args.threshold, k_max=args.k_max)
         det_cfg = cfgs.replace(cfgs.base_detokenizer(),

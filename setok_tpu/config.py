@@ -43,6 +43,12 @@ class ViTConfig:
     # for config parity (clip_encoder.py:40-48).
     select_feature: str = "patch"
     use_class_token: bool = False
+    # Smaller-N experiment (no reference equivalent): merge 2x2 patch
+    # neighborhoods (space-to-depth + linear) after this block index, so the
+    # remaining depth and everything downstream (clustering, group encode)
+    # runs at N/4 sequence length. None = off (parity default). See PERF.md
+    # "token-merge" for the measured speed/quality trade.
+    merge_layer: Optional[int] = None
 
     @property
     def grid(self) -> int:

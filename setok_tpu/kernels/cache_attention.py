@@ -36,19 +36,28 @@ MAX_CACHE_TOKENS = 8192
 
 
 def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, m_ref, o_ref, *,
-            sm_scale: float):
+            sm_scale: float, kvh: int):
+    # Block layouts are chosen so every block's last two dims are either
+    # equal to the array dims or 128-divisible (Mosaic's lowering rule —
+    # a (1, S, 1, D) block over (B, S, KVH, D) is NOT lowerable; caught on
+    # the first real-chip run of perf/ab_int8_cache.py).
+    j = pl.program_id(1)
     q = q_ref[0, 0].astype(jnp.float32)                  # (G, D)
-    k = k_ref[0, :, 0].astype(jnp.float32)               # (S, D)
-    ks = ks_ref[0, :, 0]                                 # (S,)
+    k = k_ref[0].astype(jnp.float32)                     # (S, D)
+    # scale blocks carry all KVH columns (tiny vs the int8 slab); pick
+    # this program's head column with a one-hot reduce (no dynamic lane
+    # indexing in Mosaic)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, kvh), 1) == j)
+    ks = jnp.sum(ks_ref[0] * sel, axis=-1)               # (S,)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s * (ks * sm_scale)[None, :]                     # (G, S)
-    s = jnp.where(m_ref[0][None, :], s, NEG_INF)
+    s = jnp.where(m_ref[0, 0][None, :], s, NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    vs = vs_ref[0, :, 0]                                 # (S,)
-    v = v_ref[0, :, 0].astype(jnp.float32)               # (S, D)
+    vs = jnp.sum(vs_ref[0] * sel, axis=-1)               # (S,)
+    v = v_ref[0].astype(jnp.float32)                     # (S, D)
     o_ref[0, 0] = jnp.dot(p * vs[None, :], v,
                           preferred_element_type=jnp.float32
                           ).astype(o_ref.dtype)
@@ -66,25 +75,35 @@ def int8_cache_decode_attention(q, k_cache, k_scale, v_cache, v_scale,
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(d))
     qg = q.reshape(b, kvh, g, d)
+    # (B, S, KVH, D) → (B, S, KVH·D) is a free view of the same bytes; each
+    # program then streams its head's (S, D) slab as a 128-aligned column
+    # block of the flattened axis.
+    k2 = k_cache.reshape(b, s, kvh * d)
+    v2 = v_cache.reshape(b, s, kvh * d)
+    m3 = key_valid.reshape(b, 1, s)
     grid = (b, kvh)
     out = pl.pallas_call(
-        functools.partial(_kernel, sm_scale=float(sm_scale)),
+        functools.partial(_kernel, sm_scale=float(sm_scale), kvh=kvh),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, g, d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, s, 1, d), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((1, s, 1), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, s, 1, d), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((1, s, 1), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, s, kvh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, s, kvh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
         interpret=interpret,
-    )(qg, k_cache, k_scale, v_cache, v_scale, key_valid)
+    )(qg, k2, k_scale, v2, v_scale, m3)
     return out.reshape(b, h, d)
 
 
-def fits_vmem(max_len: int) -> bool:
-    """Whether one (S, D) slab per program stays within the VMEM guard."""
-    return max_len <= MAX_CACHE_TOKENS
+def fits_vmem(max_len: int, head_dim: int = 128, kv_heads: int = 1,
+              interpret: bool = False) -> bool:
+    """Whether the kernel can run: VMEM slab guard + Mosaic layout rule
+    (the flattened KV column block must be 128-aligned unless it spans the
+    whole axis). Interpret mode (CPU tests) has no layout rule."""
+    return (max_len <= MAX_CACHE_TOKENS
+            and (interpret or head_dim % 128 == 0 or kv_heads == 1))

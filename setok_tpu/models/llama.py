@@ -193,8 +193,10 @@ class LlamaAttention(nn.Module):
             # the attention kernel (kernels/cache_attention.py) — an XLA
             # dequant here may materialize a full bf16 cache copy, giving
             # back the bandwidth the int8 format saved
-            use_cache_kernel = (quant_cache and l == 1
-                                and fits_vmem(ck.shape[1]))
+            use_cache_kernel = (
+                quant_cache and l == 1
+                and fits_vmem(ck.shape[1], cfg.head_dim, cfg.num_kv_heads,
+                              interpret=jax.devices()[0].platform != "tpu"))
             if quant_cache and not use_cache_kernel:
                 k = ck.astype(self.dtype) * cks[..., None].astype(self.dtype)
                 v = cv.astype(self.dtype) * cvs[..., None].astype(self.dtype)

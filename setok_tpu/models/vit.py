@@ -122,6 +122,21 @@ class ViT(nn.Module):
                                 dtype=self.dtype,
                                 param_dtype=self.param_dtype,
                                 name=f"block_{i}")(x, deterministic=deterministic)
+            if cfg.merge_layer is not None and i == cfg.merge_layer:
+                # Smaller-N variant (PERF.md "token-merge"): 2x2
+                # space-to-depth + linear projection — the remaining
+                # depth and the whole tokenizer run at N/4.
+                if cfg.use_class_token:
+                    raise ValueError("merge_layer requires use_class_token="
+                                     "False (no grid slot for the cls token)")
+                bb, nn_, cc = x.shape
+                g = int(round(nn_ ** 0.5))
+                x = x.reshape(bb, g // 2, 2, g // 2, 2, cc)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    bb, (g // 2) * (g // 2), 4 * cc)
+                x = nn.Dense(cfg.width, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="merge_proj")(x)
             taps.append(x)
         feats = taps[sel]
 

@@ -1,0 +1,77 @@
+"""Token-merge (smaller-N) encoder variant.
+
+No reference equivalent — this is the PERF.md "smaller-N architecture"
+experiment: ViTConfig.merge_layer folds 2x2 patch neighborhoods
+(space-to-depth + linear) after a chosen block, so the remaining encoder
+depth and the whole clustering/group-encode pipeline run at N/4.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from setok_tpu import config as cfgs
+from setok_tpu.models.tokenizer import SetokTokenizer
+from setok_tpu.models.vit import ViT
+
+
+def _merged_cfg():
+    tc = cfgs.tiny_tokenizer()
+    vit = dataclasses.replace(tc.vit, merge_layer=0)
+    return dataclasses.replace(tc, vit=vit, k_max=4, knn=3,
+                               min_cluster_num=2)
+
+
+def test_vit_merge_shapes():
+    tc = _merged_cfg()
+    m = ViT(tc.vit)
+    imgs = jnp.zeros((2, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)
+    feats = m.apply(params, imgs)
+    n_full = tc.vit.num_patches
+    assert feats.shape == (2, n_full // 4, tc.vit.width)
+    assert "merge_proj" in params["params"]
+
+
+def test_merge_spatial_identity():
+    """The 2x2 fold must group spatial NEIGHBORS, not strided patches.
+
+    With a one-layer ViT whose block is bypassed numerically (we read the
+    reshape directly), patch (2i, 2j),(2i,2j+1),(2i+1,2j),(2i+1,2j+1) land
+    in merged slot (i, j). Verified via the pure reshape/transpose math on a
+    labeled grid.
+    """
+    g = 4
+    c = 1
+    x = jnp.arange(g * g, dtype=jnp.float32).reshape(1, g * g, c)
+    bb, nn_, cc = x.shape
+    y = x.reshape(bb, g // 2, 2, g // 2, 2, cc)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bb, (g // 2) ** 2, 4 * cc)
+    # merged slot (0,0) must contain grid entries 0,1,4,5 (row-major 4x4)
+    assert sorted(y[0, 0].tolist()) == [0.0, 1.0, 4.0, 5.0]
+    assert sorted(y[0, 3].tolist()) == [10.0, 11.0, 14.0, 15.0]
+
+
+def test_tokenizer_merged_end_to_end():
+    tc = _merged_cfg()
+    m = SetokTokenizer(tc)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                              (2, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)
+    out = jax.jit(lambda p, x: m.apply(p, x))(params, imgs)
+    n_merged = tc.vit.num_patches // 4
+    assert out.tokens.shape == (2, tc.k_max, tc.token_feat_dim)
+    assert out.idx_cluster.shape == (2, n_merged)
+    assert bool(jnp.all(out.num_clusters >= 1))
+    assert bool(jnp.all(jnp.isfinite(out.tokens)))
+
+
+def test_merge_rejects_class_token():
+    tc = cfgs.tiny_tokenizer()
+    vit = dataclasses.replace(tc.vit, merge_layer=0, use_class_token=True)
+    m = ViT(vit)
+    imgs = jnp.zeros((1, vit.image_size, vit.image_size, 3))
+    with pytest.raises(ValueError, match="merge_layer"):
+        m.init(jax.random.PRNGKey(0), imgs)
