@@ -68,7 +68,6 @@ def main():
     print(f"cache read/step: bf16 {cache_gb:.2f} GB, "
           f"int8 {cache_gb/2:.2f} GB (+scales)", flush=True)
 
-    model = Setokim(cfg, target_token_id=3, weight_bits=8)
     ids0 = np.ones((B, 16), np.int64)
     params = quantize_trunk_weights(
         Setokim(cfg, target_token_id=3).init(
@@ -79,16 +78,16 @@ def main():
     ids = jnp.asarray(np.random.RandomState(0)
                       .randint(1, 8000, size=(B, fill)))
 
-    import setok_tpu.kernels.cache_attention as _ca
-    max_tokens = _ca.MAX_CACHE_TOKENS
     chains = {}
-    # int8_xla = same int8 cache but dequantized by XLA outside the
-    # attention dots (kernel disabled) — isolates what the Pallas
-    # in-kernel dequant contributes vs the format itself
-    for name, cdt, use_kernel in (("bf16_cache", jnp.bfloat16, True),
-                                  ("int8_cache", jnp.int8, True),
+    # int8_xla = the shipping default (cache_kernel=False): int8 cache
+    # dequantized by XLA, fused into the attention dots. int8_kernel =
+    # the opt-in Pallas in-kernel dequant — measured 1.8x slower (PERF.md
+    # "int8 KV cache"), kept here so regressions/fixes stay visible.
+    for name, cdt, use_kernel in (("bf16_cache", jnp.bfloat16, False),
+                                  ("int8_kernel", jnp.int8, True),
                                   ("int8_xla", jnp.int8, False)):
-        _ca.MAX_CACHE_TOKENS = max_tokens if use_kernel else 0
+        model = Setokim(cfg, target_token_id=3, weight_bits=8,
+                        cache_kernel=use_kernel)
         logits, _, cache, valid, pos = jax.jit(
             lambda p, i, _dt=cdt: model.apply(
                 p, i, S, cache_dtype=_dt, method=model.prefill_text)
@@ -111,7 +110,6 @@ def main():
         tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
         jax.block_until_ready(jitted(tok0, cache, valid, next_pos))
         chains[name] = (jitted, (tok0, cache, valid, next_pos))
-    _ca.MAX_CACHE_TOKENS = max_tokens
 
     trace_dir = "/tmp/trace_ab_cache"
     shutil.rmtree(trace_dir, ignore_errors=True)

@@ -64,7 +64,8 @@ def measure(tok_cfg, det_cfg, quant8=True):
 def merged_cfgs(merge_layer=3, k_max=48, knn=32):
     tok = cfgs.base_tokenizer()
     vit = dataclasses.replace(tok.vit, merge_layer=merge_layer)
-    tok = dataclasses.replace(tok, vit=vit, k_max=k_max, knn=knn)
+    tok = dataclasses.replace(tok, vit=vit, k_max=k_max, knn=knn,
+                              min_cluster_num=min(64, k_max))
     # the detokenizer consumes (B, k_max, D) + validity mask — its own query
     # count is grid², independent of k_max
     return tok, cfgs.base_detokenizer()

@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--min-cluster-num", type=int, default=64)
     p.add_argument("--threshold", type=float, default=0.55)
     p.add_argument("--k-max", type=int, default=80)
+    p.add_argument("--merge-layer", type=int, default=None,
+                   help="2x2 token merge after this ViT block (smaller-N "
+                        "variant; PERF.md 'token-merge'). Cluster knobs are "
+                        "clamped to the merged patch count")
     p.add_argument("--disc-start", type=int, default=5000)
     p.add_argument("--lpips", action="store_true",
                    help="enable the LPIPS perceptual term (VGG16 weights "
@@ -101,12 +105,26 @@ def main():
         det_cfg = cfgs.tiny_detokenizer(args.image_size,
                                         max(args.image_size // 4, 8))
     else:
+        vit_cfg = cfgs.replace(cfgs.ViTConfig(), image_size=args.image_size,
+                               merge_layer=args.merge_layer)
+        # clamp cluster knobs to the patch count the ViT actually emits
+        # (merge_layer shrinks it 4x; TokenizerConfig validation rejects
+        # anything larger — ADVICE r3 high #1)
+        n_out = vit_cfg.num_output_patches
+        base = cfgs.base_tokenizer()
+        k_max = min(args.k_max, n_out)
+        min_cluster = min(args.min_cluster_num, k_max)
+        knn = min(base.knn, n_out)
+        if (k_max, min_cluster, knn) != (args.k_max, args.min_cluster_num,
+                                         base.knn):
+            logger.warning(
+                "merge_layer=%s: clamped cluster knobs to merged N=%d "
+                "(k_max %d→%d, min_cluster_num %d→%d, knn %d→%d)",
+                args.merge_layer, n_out, args.k_max, k_max,
+                args.min_cluster_num, min_cluster, base.knn, knn)
         tok_cfg = cfgs.replace(
-            cfgs.base_tokenizer(),
-            vit=cfgs.replace(cfgs.ViTConfig(), image_size=args.image_size,
-                             merge_layer=args.merge_layer),
-            min_cluster_num=args.min_cluster_num,
-            threshold=args.threshold, k_max=args.k_max)
+            base, vit=vit_cfg, min_cluster_num=min_cluster,
+            threshold=args.threshold, k_max=k_max, knn=knn)
         det_cfg = cfgs.replace(cfgs.base_detokenizer(),
                                image_size=args.image_size)
 

@@ -50,6 +50,22 @@ class ViTConfig:
     # "token-merge" for the measured speed/quality trade.
     merge_layer: Optional[int] = None
 
+    def __post_init__(self):
+        if self.merge_layer is not None:
+            if not 0 <= self.merge_layer < self.depth:
+                raise ValueError(
+                    f"merge_layer ({self.merge_layer}) must be in "
+                    f"[0, depth={self.depth}) — a merge after the last block "
+                    "would be dead code")
+            if self.grid % 2 != 0:
+                raise ValueError(
+                    f"merge_layer needs an even patch grid for the 2x2 fold; "
+                    f"got image_size={self.image_size} / "
+                    f"patch_size={self.patch_size} → grid {self.grid}")
+            if self.use_class_token:
+                raise ValueError("merge_layer requires use_class_token=False "
+                                 "(no grid slot for the cls token)")
+
     @property
     def grid(self) -> int:
         return self.image_size // self.patch_size
@@ -57,6 +73,12 @@ class ViTConfig:
     @property
     def num_patches(self) -> int:
         return self.grid * self.grid
+
+    @property
+    def num_output_patches(self) -> int:
+        """Patch count the ViT emits: num_patches, /4 after a 2x2 merge."""
+        n = self.num_patches
+        return n // 4 if self.merge_layer is not None else n
 
 
 @dataclass(frozen=True)
@@ -89,6 +111,19 @@ class TokenizerConfig:
     # passes instead of the materialized N×N cdist. Unmasked inputs only —
     # token_mask falls back to the XLA path.
     use_pallas_cluster: bool = True
+
+    def __post_init__(self):
+        # Cluster knobs must fit the patch count the ViT actually emits
+        # (merge_layer shrinks it 4x) — lax.top_k(k > N) is a crash.
+        n = self.vit.num_output_patches
+        for name, v in (("k_max", self.k_max), ("knn", self.knn),
+                        ("min_cluster_num", self.min_cluster_num)):
+            if v > n:
+                raise ValueError(
+                    f"{name} ({v}) exceeds the ViT's output patch count "
+                    f"N={n}" + (" (after the 2x2 token merge)"
+                                if self.vit.merge_layer is not None else "")
+                    + " — lax.top_k would fail; shrink it or drop merge_layer")
 
 
 @dataclass(frozen=True)

@@ -1,11 +1,20 @@
 """Decode attention over an int8 KV cache, dequantized in-kernel.
 
-The int8 cache (models/llama.py KVCache: int8 K/V + per-token-per-head
-f32 scales) halves decode's dominant HBM stream ONLY if the dequant
-multiply stays fused with the attention dots. XLA is free to materialize
-`cache.astype(bf16) * scale` as a full (B, S, KVH, D) tensor first —
-which would ADD a 2x write+read instead of saving one. This kernel makes
-the fusion structural: each (batch, kv-head) program streams its (S, D)
+STATUS — opt-in, measured SLOWER than the XLA path it was built to beat.
+The on-chip A/B (perf/ab_int8_cache.py @ b801966; PERF.md "int8 KV
+cache") at B=8, S=4096, 8 layers: this kernel 11.09 ms/step vs 6.19 for
+the same int8 cache dequantized by XLA outside the kernel (bf16 cache:
+8.65). The design premise — that XLA would materialize a full bf16
+dequant copy and give back the saved bandwidth — is disproven by that
+experiment: XLA fuses `cache * scale` into the attention dots fine.
+The kernel's own deficit is layout: each (batch, kv-head) program
+streams its (S, D) head slab as a strided column block of the flattened
+(B, S, KVH·D) cache — 128-byte contiguous runs, poor HBM efficiency —
+plus every program re-reads all KVH scale columns. models/llama.py
+routes int8-cache decode through XLA dequant by default; this kernel
+stays behind `cache_kernel=True` for study/regression tracking.
+
+Original design: each (batch, kv-head) program streams its (S, D)
 int8 K/V slab + (S,) scales into VMEM once, applies the scales inside
 the score/PV dots, and writes only the (G, D) output.
 

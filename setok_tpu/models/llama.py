@@ -125,6 +125,12 @@ class LlamaAttention(nn.Module):
     # sequence sharded over SEQ_AXIS. mask may then be None (no global
     # (L, L) mask is ever materialized); pass `valid` instead.
     ring_mesh: Any = None
+    # Opt-in Pallas in-kernel-dequant decode attention over the int8 cache
+    # (kernels/cache_attention.py). Off by default: the on-chip A/B
+    # (perf/ab_int8_cache.py, PERF.md "int8 KV cache") measured XLA dequant
+    # at 6.19 ms/step vs 11.09 for the kernel — XLA fuses the dequant fine
+    # and the kernel's strided head-slab DMA costs 1.8x.
+    cache_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, mask, positions,
@@ -189,12 +195,14 @@ class LlamaAttention(nn.Module):
                     cvs = jax.lax.dynamic_update_slice(
                         cvs, vsc, (0, start, 0))
             from setok_tpu.kernels.cache_attention import fits_vmem
-            # one-token decode over an int8 cache: keep the dequant INSIDE
-            # the attention kernel (kernels/cache_attention.py) — an XLA
-            # dequant here may materialize a full bf16 cache copy, giving
-            # back the bandwidth the int8 format saved
+            # int8-cache decode default: dequantize with XLA and take the
+            # standard attention path — the on-chip A/B measured this at
+            # 6.19 ms/step vs 11.09 for the in-kernel-dequant Pallas path
+            # (PERF.md "int8 KV cache"); XLA fuses `cache * scale` into the
+            # dots without materializing a bf16 copy. The kernel stays
+            # available behind `cache_kernel=True` for study.
             use_cache_kernel = (
-                quant_cache and l == 1
+                self.cache_kernel and quant_cache and l == 1
                 and fits_vmem(ck.shape[1], cfg.head_dim, cfg.num_kv_heads,
                               interpret=jax.devices()[0].platform != "tpu"))
             if quant_cache and not use_cache_kernel:
@@ -290,6 +298,7 @@ class LlamaBlock(nn.Module):
     weight_bits: int = 16
     quant_group: int = 0
     ring_mesh: Any = None
+    cache_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, mask, positions, cache_kv=None, cache_length=None,
@@ -302,6 +311,7 @@ class LlamaBlock(nn.Module):
                                       weight_bits=self.weight_bits,
                                       quant_group=self.quant_group,
                                       ring_mesh=self.ring_mesh,
+                                      cache_kernel=self.cache_kernel,
                                       name="attn")(h, mask, positions,
                                                    cache_kv, cache_length,
                                                    valid)
@@ -351,6 +361,7 @@ class LlamaModel(nn.Module):
     weight_bits: int = 16
     quant_group: int = 0
     ring_mesh: Any = None
+    cache_kernel: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, mask: jnp.ndarray,
@@ -376,6 +387,7 @@ class LlamaModel(nn.Module):
             x, updated = block_cls(cfg, self.dtype, self.param_dtype,
                                    self.use_flash, self.weight_bits,
                                    self.quant_group, self.ring_mesh,
+                                   self.cache_kernel,
                                    name=f"layer_{i}")(x, mask, positions,
                                                       cache_kv, cache_len,
                                                       valid)
@@ -411,6 +423,7 @@ class LlamaForCausalLM(nn.Module):
     weight_bits: int = 16
     quant_group: int = 0
     ring_mesh: Any = None
+    cache_kernel: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -421,7 +434,8 @@ class LlamaForCausalLM(nn.Module):
                                 remat=self.remat, use_flash=self.use_flash,
                                 weight_bits=self.weight_bits,
                                 quant_group=self.quant_group,
-                                ring_mesh=self.ring_mesh)
+                                ring_mesh=self.ring_mesh,
+                                cache_kernel=self.cache_kernel)
         if not cfg.tie_embeddings:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
                                     dtype=self.dtype,

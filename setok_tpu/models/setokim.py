@@ -77,6 +77,9 @@ class Setokim(nn.Module):
     # through the K/V ring (parallel/ring_attention.py); the global (L, L)
     # attention mask is never materialized (long-context, SURVEY §5)
     ring_mesh: Any = None
+    # opt-in Pallas int8-cache decode kernel (measured slower than the XLA
+    # dequant default — PERF.md "int8 KV cache"); kept for study
+    cache_kernel: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -85,7 +88,8 @@ class Setokim(nn.Module):
                                       use_flash=self.use_flash,
                                       weight_bits=self.weight_bits,
                                       quant_group=self.quant_group,
-                                      ring_mesh=self.ring_mesh)
+                                      ring_mesh=self.ring_mesh,
+                                      cache_kernel=self.cache_kernel)
         self.vision_tower = SetokTokenizer(cfg.tokenizer,
                                            freeze_backbone=True,
                                            dtype=self.dtype,

@@ -48,9 +48,16 @@ class SetokTokenizer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.image_feature_encoder = ViT(cfg.vit, quant8=self.quant8,
-                                         dtype=self.dtype,
-                                         param_dtype=self.param_dtype)
+        # With merge_layer, "frozen backbone" freezes only the pre-merge
+        # blocks — merge_proj is random-init and must train, so the ViT
+        # stop-gradients internally and encode_features skips its outer
+        # stop_gradient (ADVICE r3: merge_proj frozen at random init would
+        # scramble merged features).
+        self.image_feature_encoder = ViT(
+            cfg.vit, quant8=self.quant8,
+            freeze_pre_merge=(self.freeze_backbone
+                              and cfg.vit.merge_layer is not None),
+            dtype=self.dtype, param_dtype=self.param_dtype)
         # The reference assumes vit width == hidden_dim (it adds the pos-emb
         # and feeds encoders in place, tokenizer.py:164-180, which only works
         # when they match); we add an explicit projection when they differ.
@@ -83,7 +90,10 @@ class SetokTokenizer(nn.Module):
         clip_encoder.py:50-62 @torch.no_grad).
         """
         feats = self.image_feature_encoder(images, deterministic=deterministic)
-        if self.freeze_backbone:
+        if self.freeze_backbone and self.cfg.vit.merge_layer is None:
+            # merge variant: the ViT already stop-gradients pre-merge
+            # features internally, leaving merge_proj + post-merge blocks
+            # trainable — do not re-freeze the output here.
             feats = jax.lax.stop_gradient(feats)
         if self.feat_proj is not None:
             feats = self.feat_proj(feats)

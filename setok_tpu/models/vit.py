@@ -86,6 +86,14 @@ class ViT(nn.Module):
 
     cfg: ViTConfig
     quant8: bool = False
+    # With merge_layer set, a frozen backbone means frozen *pre-merge*: the
+    # merge projection is new (random-init) and everything downstream of it
+    # sees a feature distribution the pretrained post-merge blocks never
+    # trained on, so merge_proj + post-merge blocks must stay trainable.
+    # True → stop_gradient is applied to the pre-merge features inside this
+    # module; the caller must then NOT stop-gradient the output (the
+    # tokenizer handles this split — tokenizer.py encode_features).
+    freeze_pre_merge: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -126,9 +134,11 @@ class ViT(nn.Module):
                 # Smaller-N variant (PERF.md "token-merge"): 2x2
                 # space-to-depth + linear projection — the remaining
                 # depth and the whole tokenizer run at N/4.
-                if cfg.use_class_token:
-                    raise ValueError("merge_layer requires use_class_token="
-                                     "False (no grid slot for the cls token)")
+                # (merge_layer bounds / even grid / no-cls validated in
+                # ViTConfig.__post_init__.)
+                if self.freeze_pre_merge:
+                    import jax
+                    x = jax.lax.stop_gradient(x)
                 bb, nn_, cc = x.shape
                 g = int(round(nn_ ** 0.5))
                 x = x.reshape(bb, g // 2, 2, g // 2, 2, cc)

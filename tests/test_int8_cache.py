@@ -124,6 +124,32 @@ def test_decode_block_int8_cache_matches_single_step():
     assert outs[0] == outs[1], outs
 
 
+def test_cache_kernel_opt_in_matches_default_path():
+    """cache_kernel=True (the opt-in Pallas in-kernel dequant — measured
+    slower on chip, PERF.md 'int8 KV cache') must stay numerically in
+    line with the shipping XLA-dequant default."""
+    cfg = cfgs.tiny_setokim()
+    ids0 = np.zeros((2, 12), np.int64)
+    ids0[:, :5] = [[1, 17, 23, 99, 5], [1, 7, 3, 11, 2]]
+    outs = []
+    for use_kernel in (False, True):
+        model = Setokim(cfg, target_token_id=3, cache_kernel=use_kernel)
+        if not outs:
+            params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids0),
+                                method=lambda m, i: m.llama(i))
+        logits, hidden, cache, valid, pos = model.apply(
+            params, jnp.asarray(ids0), 32, cache_dtype=jnp.int8,
+            method=model.prefill_text)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        next_pos = jnp.sum(valid.astype(jnp.int32), axis=1)
+        lg, hid, cache, valid = model.apply(
+            params, nxt[:, None], cache, valid, next_pos,
+            method=model.decode_step)
+        outs.append(np.asarray(lg, np.float32))
+    scale = np.abs(outs[0]).max()
+    assert np.abs(outs[0] - outs[1]).max() / scale < 5e-3
+
+
 def test_cache_attention_kernel_matches_dequant_reference():
     """kernels/cache_attention.py == dequantize-then-attend, GQA + mask."""
     from setok_tpu.kernels.cache_attention import int8_cache_decode_attention

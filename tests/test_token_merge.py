@@ -70,8 +70,62 @@ def test_tokenizer_merged_end_to_end():
 
 def test_merge_rejects_class_token():
     tc = cfgs.tiny_tokenizer()
-    vit = dataclasses.replace(tc.vit, merge_layer=0, use_class_token=True)
-    m = ViT(vit)
-    imgs = jnp.zeros((1, vit.image_size, vit.image_size, 3))
     with pytest.raises(ValueError, match="merge_layer"):
-        m.init(jax.random.PRNGKey(0), imgs)
+        dataclasses.replace(tc.vit, merge_layer=0, use_class_token=True)
+
+
+def test_merge_config_validation():
+    tc = cfgs.tiny_tokenizer()
+    # out-of-range merge point
+    with pytest.raises(ValueError, match="merge_layer"):
+        dataclasses.replace(tc.vit, merge_layer=tc.vit.depth)
+    # odd patch grid (e.g. 40/8 = 5)
+    with pytest.raises(ValueError, match="even patch grid"):
+        dataclasses.replace(tc.vit, merge_layer=0, image_size=40)
+    # cluster knobs larger than the merged patch count (ADVICE r3 high #1:
+    # this used to crash lax.top_k deep inside the first train step)
+    vit = dataclasses.replace(tc.vit, merge_layer=0)
+    with pytest.raises(ValueError, match="k_max"):
+        dataclasses.replace(tc, vit=vit, k_max=tc.vit.num_patches)
+    with pytest.raises(ValueError, match="knn"):
+        dataclasses.replace(tc, vit=vit, k_max=4, knn=16, min_cluster_num=2)
+
+
+def test_merge_proj_trains_under_frozen_backbone():
+    """ADVICE r3 high #2: with freeze_backbone=True (the stage-1 default)
+    merge_proj and the post-merge blocks must still receive gradients —
+    merge_proj is random-init, so freezing it scrambles merged features.
+    Pre-merge blocks stay frozen."""
+    tc = _merged_cfg()     # merge_layer=0 of depth 2: block_0 pre, block_1 post
+    m = SetokTokenizer(tc, freeze_backbone=True)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                              (2, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)
+
+    def loss(p):
+        out = m.apply(p, imgs)
+        return jnp.sum(out.tokens ** 2)
+
+    g = jax.grad(loss)(params)["params"]["image_feature_encoder"]
+    l2 = lambda t: sum(float(jnp.sum(x ** 2))
+                       for x in jax.tree.leaves(t))
+    assert l2(g["merge_proj"]) > 0.0
+    assert l2(g["block_1"]) > 0.0          # post-merge: trainable
+    assert l2(g["block_0"]) == 0.0         # pre-merge: frozen
+    assert l2(g["patch_embed"]) == 0.0
+    assert float(jnp.sum(g["pos_embed"] ** 2)) == 0.0
+
+
+def test_merge_fully_frozen_without_merge():
+    """Without merge_layer the whole backbone stays frozen (unchanged)."""
+    tc = cfgs.tiny_tokenizer()
+    m = SetokTokenizer(tc, freeze_backbone=True)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                              (2, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)
+
+    def loss(p):
+        return jnp.sum(m.apply(p, imgs).tokens ** 2)
+
+    g = jax.grad(loss)(params)["params"]["image_feature_encoder"]
+    assert all(float(jnp.sum(x ** 2)) == 0.0 for x in jax.tree.leaves(g))
