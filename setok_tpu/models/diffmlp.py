@@ -65,8 +65,10 @@ class ResBlock(nn.Module):
                        kernel_init=nn.initializers.zeros,
                        name="adaLN")(nn.silu(y))
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
-        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
-                         dtype=self.dtype, name="in_ln")(x)
+        # the reference's in_ln keeps its elementwise affine (diffloss.py:113,
+        # LayerNorm default) — only FinalLayer's norm is affine-free
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="in_ln")(x)
         h = modulate(h, shift, scale)
         h = nn.Dense(self.channels, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp_fc1")(h)

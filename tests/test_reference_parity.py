@@ -365,3 +365,219 @@ def test_tokenizer_forward_matches_reference(ref, ref_module):
                                rtol=1e-6, atol=1e-8)
     # invalid slots are zeroed
     np.testing.assert_allclose(np.asarray(res.tokens[0][L:]), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Q-Former mapper vs the vendored reference BertModel (module.py:729-1013)
+
+
+def port_ref_qformer(bert, layers):
+    """Stripped reference BertModel state_dict → our QFormer param tree."""
+    sd = {k: v.detach().numpy() for k, v in bert.state_dict().items()}
+
+    def lin(pfx):
+        return {"kernel": sd[pfx + ".weight"].T, "bias": sd[pfx + ".bias"]}
+
+    def ln(pfx):
+        return {"scale": sd[pfx + ".weight"], "bias": sd[pfx + ".bias"]}
+
+    p = {"embed_norm": ln("embeddings.LayerNorm")}
+    for i in range(layers):
+        lp = f"encoder.layer.{i}"
+        d = {"self_attn": {"query": lin(f"{lp}.attention.self.query"),
+                           "key": lin(f"{lp}.attention.self.key"),
+                           "value": lin(f"{lp}.attention.self.value"),
+                           "out": lin(f"{lp}.attention.output.dense"),
+                           "out_norm": ln(f"{lp}.attention.output.LayerNorm")},
+             "ffn_in": lin(f"{lp}.intermediate_query.dense"),
+             "ffn_out": lin(f"{lp}.output_query.dense"),
+             "ffn_norm": ln(f"{lp}.output_query.LayerNorm")}
+        if f"{lp}.crossattention.self.query.weight" in sd:
+            d["cross_attn"] = {
+                "query": lin(f"{lp}.crossattention.self.query"),
+                "key": lin(f"{lp}.crossattention.self.key"),
+                "value": lin(f"{lp}.crossattention.self.value"),
+                "out": lin(f"{lp}.crossattention.output.dense"),
+                "out_norm": ln(f"{lp}.crossattention.output.LayerNorm")}
+        p[f"layer_{i}"] = d
+    return {"params": jax.tree.map(jnp.asarray, p)}
+
+
+def test_qformer_mapper_matches_reference(ref, ref_module):
+    """VERDICT r3 next #5: the detokenizer's BERT mapper — reference
+    BertModel (module.py:729-1013) stripped exactly as init_feature_mapper
+    does (detokenizer.py:91-96: no word/pos embeddings, layer.output =
+    layer.intermediate = None), query_embeds + cross-attention every
+    `cross_attention_freq` layers + query FFN — vs our QFormer with ported
+    weights, float64."""
+    from transformers import BertConfig
+
+    from setok_tpu.models.qformer import QFormer
+
+    hidden, heads, inter, layers, q_len, enc_w = 24, 2, 48, 4, 9, 20
+    cfg = BertConfig(vocab_size=30, hidden_size=hidden,
+                     num_attention_heads=heads, num_hidden_layers=layers,
+                     intermediate_size=inter, hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    cfg.encoder_width = enc_w
+    cfg.add_cross_attention = True
+    cfg.cross_attention_freq = 2
+    cfg.query_length = q_len
+
+    torch.manual_seed(0)
+    bert = ref_module.BertModel(cfg)
+    # strip exactly like detokenizer.init_feature_mapper (91-96)
+    bert.embeddings.word_embeddings = None
+    bert.embeddings.position_embeddings = None
+    for layer in bert.encoder.layer:
+        layer.output = None
+        layer.intermediate = None
+    bert = bert.double().eval()
+
+    rs = np.random.RandomState(1)
+    q = rs.randn(2, q_len, hidden)
+    enc = rs.randn(2, 7, enc_w)
+    mask = np.ones((2, 7))
+    mask[1, 5:] = 0
+    with torch.no_grad():
+        want = bert(
+            query_embeds=torch.tensor(q, dtype=torch.float64),
+            encoder_hidden_states=torch.tensor(enc, dtype=torch.float64),
+            encoder_attention_mask=torch.tensor(mask, dtype=torch.float64),
+            return_dict=True).last_hidden_state.numpy()
+
+    model = QFormer(num_layers=layers, num_heads=heads,
+                    mlp_ratio=inter / hidden, cross_attention_freq=2,
+                    dropout=0.0, attn_dropout=0.0,
+                    dtype=jnp.float64, param_dtype=jnp.float64)
+    with jax.enable_x64():
+        got = model.apply(port_ref_qformer(bert, layers), jnp.asarray(q),
+                          jnp.asarray(enc), jnp.asarray(mask) > 0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# SimpleMLPAdaLN vs the reference diffusion head (loss/diffloss.py:151-248)
+
+
+@pytest.fixture(scope="module")
+def ref_diffloss():
+    """Import /root/reference/src/model/loss/diffloss.py under a package
+    shim so its relative `from ..diffusion import create_diffusion`
+    resolves (the diffusion package is pure torch+numpy)."""
+    if "refmodel.loss.diffloss" in sys.modules:
+        return sys.modules["refmodel.loss.diffloss"]
+    pkg = types.ModuleType("refmodel")
+    pkg.__path__ = ["/root/reference/src/model"]
+    pkg.__spec__ = importlib.machinery.ModuleSpec("refmodel", None,
+                                                  is_package=True)
+    sys.modules["refmodel"] = pkg
+    losspkg = types.ModuleType("refmodel.loss")
+    losspkg.__path__ = ["/root/reference/src/model/loss"]
+    losspkg.__spec__ = importlib.machinery.ModuleSpec("refmodel.loss", None,
+                                                      is_package=True)
+    sys.modules["refmodel.loss"] = losspkg
+    spec = importlib.util.spec_from_file_location(
+        "refmodel.loss.diffloss",
+        "/root/reference/src/model/loss/diffloss.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def port_ref_diffmlp(net, blocks):
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+
+    def lin(pfx):
+        return {"kernel": sd[pfx + ".weight"].T, "bias": sd[pfx + ".bias"]}
+
+    p = {"time_embed": {"fc1": lin("time_embed.mlp.0"),
+                        "fc2": lin("time_embed.mlp.2")},
+         "cond_embed": lin("cond_embed"),
+         "input_proj": lin("input_proj"),
+         "final_layer": {"adaLN": lin("final_layer.adaLN_modulation.1"),
+                         "linear": lin("final_layer.linear")}}
+    for i in range(blocks):
+        p[f"res_{i}"] = {
+            "in_ln": {"scale": sd[f"res_blocks.{i}.in_ln.weight"],
+                      "bias": sd[f"res_blocks.{i}.in_ln.bias"]},
+            "mlp_fc1": lin(f"res_blocks.{i}.mlp.0"),
+            "mlp_fc2": lin(f"res_blocks.{i}.mlp.2"),
+            "adaLN": lin(f"res_blocks.{i}.adaLN_modulation.1")}
+    return {"params": jax.tree.map(jnp.asarray, p)}
+
+
+@pytest.fixture(scope="module")
+def diffmlp_pair(ref_diffloss):
+    from setok_tpu.models.diffmlp import SimpleMLPAdaLN
+
+    torch.manual_seed(0)
+    net = ref_diffloss.SimpleMLPAdaLN(in_channels=8, model_channels=16,
+                                      out_channels=16, z_channels=12,
+                                      num_res_blocks=2)
+    # the reference zero-inits adaLN modulations and the final linear
+    # (diffloss.py:205-215) — re-randomize so the oracle output is
+    # non-degenerate (zero final layer would pass for any bug)
+    gen = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for prm in net.parameters():
+            prm.copy_(torch.randn(prm.shape, generator=gen) * 0.4)
+    net = net.double().eval()
+    # the reference hard-casts the timestep embedding to float32
+    # (diffloss.py:86 `t.float()`, float32 freqs) which torch's double
+    # Linear rejects; shadow the staticmethod to cast its f32 result up —
+    # both sides still compute the embedding itself in float32
+    emb = ref_diffloss.TimestepEmbedder.timestep_embedding
+    net.time_embed.timestep_embedding = \
+        lambda t, dim, **kw: emb(t, dim, **kw).double()
+    ours = SimpleMLPAdaLN(in_channels=8, model_channels=16, out_channels=16,
+                          z_channels=12, num_res_blocks=2,
+                          dtype=jnp.float64, param_dtype=jnp.float64)
+    return net, ours, port_ref_diffmlp(net, 2)
+
+
+def test_simple_mlp_adaln_matches_reference(diffmlp_pair):
+    """VERDICT r3 next #5: AdaLN modulation, affine in_ln, SiLU time/cond
+    embedding — ported weights. Timestep embedding is computed in float32
+    by BOTH sides (the reference hard-casts, diffloss.py:86 `t.float()`),
+    so tolerance allows f32 cos/sin ulps through the double MLP."""
+    net, ours, params = diffmlp_pair
+    rs = np.random.RandomState(2)
+    x = rs.randn(6, 8)
+    t = np.array([0, 3, 77, 500, 999, 42])
+    c = rs.randn(6, 12)
+    with torch.no_grad():
+        want = net(torch.tensor(x, dtype=torch.float64), torch.tensor(t),
+                   torch.tensor(c, dtype=torch.float64)).numpy()
+    with jax.enable_x64():
+        got = ours.apply(params, jnp.asarray(x), jnp.asarray(t),
+                         jnp.asarray(c))
+    got = np.asarray(got)
+    # t=0 row: cos(0)/sin(0) are exact in f32, so everything downstream is
+    # double-exact — the anchor that pins the math, not just the tolerance
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-12, atol=1e-12)
+    # larger t: torch-vs-XLA f32 cos/sin ulps (args up to t·freq ≈ 999)
+    # amplified through the double MLP — measured 8e-5 max at t=999
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_simple_mlp_adaln_cfg_matches_reference(diffmlp_pair):
+    """forward_with_cfg (diffloss.py:240-248): [cond; uncond] duplicated
+    halves, guided eps recombination."""
+    net, ours, params = diffmlp_pair
+    rs = np.random.RandomState(3)
+    x = np.tile(rs.randn(3, 8), (2, 1))
+    t = np.array([5, 11, 200, 5, 11, 200])
+    c = rs.randn(6, 12)
+    with torch.no_grad():
+        want = net.forward_with_cfg(torch.tensor(x, dtype=torch.float64),
+                                    torch.tensor(t),
+                                    torch.tensor(c, dtype=torch.float64),
+                                    cfg_scale=3.0).numpy()
+    with jax.enable_x64():
+        got = ours.apply(params, jnp.asarray(x), jnp.asarray(t),
+                         jnp.asarray(c), 3.0,
+                         method=ours.forward_with_cfg)
+    # tolerance: f32 timestep-embedding ulps (see the forward test)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
