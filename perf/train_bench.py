@@ -36,7 +36,12 @@ def flops_of(lowered):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, default=1, choices=[1, 2])
-    ap.add_argument("--scale", default="tiny", choices=["tiny", "base"])
+    ap.add_argument("--scale", default="tiny", choices=["tiny", "mid", "base"],
+                    help="stage-2 'base' is the 7B trunk — full training "
+                         "state is ~112 GB and cannot fit one v5e; 'mid' "
+                         "(h=1024 8-layer trunk + ViT-B tokenizer + base "
+                         "detokenizer) is the largest single-chip-honest "
+                         "stage-2 trainable shape")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -61,7 +66,7 @@ def main():
             size = args.image_size or 32
             tok, det = (cfgs.tiny_tokenizer(size, max(size // 4, 8)),
                         cfgs.tiny_detokenizer(size, max(size // 4, 8)))
-        else:
+        else:      # stage-1 'mid' == 'base' (ViT-B is already the flagship)
             tok, det = cfgs.base_tokenizer(), cfgs.base_detokenizer()
             size = args.image_size or tok.vit.image_size
             if size != tok.vit.image_size:
@@ -85,8 +90,25 @@ def main():
     else:
         from setok_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
         from setok_tpu.train.stage2 import Stage2Trainer
-        cfg = (cfgs.tiny_setokim() if args.scale == "tiny"
-               else cfgs.base_setokim())
+        if args.scale == "tiny":
+            cfg = cfgs.tiny_setokim()
+        elif args.scale == "mid":
+            h = 1024
+            llama = cfgs.LlamaConfig(vocab_size=32000, hidden_size=h,
+                                     intermediate_size=int(2.75 * h),
+                                     num_layers=8, num_heads=h // 128,
+                                     num_kv_heads=h // 128, head_dim=128,
+                                     max_seq_len=512)
+            tokc, detc = cfgs.base_tokenizer(), cfgs.base_detokenizer()
+            diff = cfgs.DiffLossConfig(target_channels=tokc.token_feat_dim,
+                                       z_channels=detc.token_feat_dim,
+                                       width=1024, depth=3,
+                                       num_sampling_steps="100")
+            cfg = cfgs.SetokimConfig(llama=llama, tokenizer=tokc,
+                                     detokenizer=detc, diffloss=diff,
+                                     target_num=tokc.k_max)
+        else:
+            cfg = cfgs.base_setokim()
         tgt = 3
         k_max, t_num = cfg.tokenizer.k_max, cfg.target_num
         size = cfg.tokenizer.vit.image_size

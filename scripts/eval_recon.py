@@ -42,6 +42,10 @@ def main():
     p.add_argument("--threshold", type=float, default=None,
                    help="cluster threshold — MUST match the trained run's")
     p.add_argument("--k-max", type=int, default=None)
+    p.add_argument("--merge-layer", type=int, default=None,
+                   help="2x2 token merge after this ViT block — MUST match "
+                        "the trained run's (cluster knobs are clamped to "
+                        "the merged patch count, like train_setok.py)")
     p.add_argument("--eval-seed", type=int, default=10_000,
                    help="seed offset for the synthetic eval set (held out "
                         "from training's seeds)")
@@ -74,6 +78,16 @@ def main():
                  (("min_cluster_num", args.min_cluster_num),
                   ("threshold", args.threshold),
                   ("k_max", args.k_max)) if v is not None}
+    if args.merge_layer is not None:
+        vit = cfgs.replace(tok_cfg.vit, merge_layer=args.merge_layer)
+        n_out = vit.num_output_patches
+        overrides["k_max"] = min(overrides.get("k_max", tok_cfg.k_max),
+                                 n_out)
+        overrides["min_cluster_num"] = min(
+            overrides.get("min_cluster_num", tok_cfg.min_cluster_num),
+            overrides["k_max"])
+        overrides["knn"] = min(tok_cfg.knn, n_out)
+        tok_cfg = cfgs.replace(tok_cfg, vit=vit)
     if overrides:
         tok_cfg = cfgs.replace(tok_cfg, **overrides)
     kw = {}

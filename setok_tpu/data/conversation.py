@@ -1,12 +1,13 @@
 """Conversation templates (LLaVA lineage).
 
 Parity: /root/reference/src/conversation.py — `Conversation` with the five
-separator styles (get_prompt, lines 32-107) and the template registry
-(373-391). Only the templates the reference's launch scripts actually select
-(`plain`, `v1`/`vicuna_v1` — scripts/pretrain_mm_proj.sh, finetune.sh) plus
-the other styles needed for the dispatcher (`llama_2`, `mpt`, `vicuna_v0`)
-are registered; the base64-image serving helpers of the reference are
-serving-side dead weight and intentionally omitted.
+separator styles (get_prompt, lines 32-107) and the full 14-entry template
+registry (373-391): vicuna v0/v1, llama_2, llava_{v0,v1,llama_2}, mpt,
+plain/v0_plain, mistral_instruct, chatml/mistral_direct, default aliases.
+The reference's launch scripts only select `plain` and `v1` but the
+registry carries every name a checkpoint's `conv_mode` could ask for. The
+base64-image serving helpers of the reference are serving-side dead weight
+and intentionally omitted.
 """
 
 from __future__ import annotations

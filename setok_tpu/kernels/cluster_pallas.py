@@ -15,10 +15,12 @@ distance matrix in VMEM tiles only:
 
 `cluster_dpc_knn_pallas` is a drop-in for `ops.clustering.cluster_dpc_knn`
 (same ClusterResult contract, deterministic tie-break). The bisection
-computes the exact mean of the k smallest squared distances up to a 1e-6
-threshold tolerance (ties at the threshold are weighted fractionally, which
-is measure-zero for continuous features).
-"""
+brackets the k-th smallest squared distance down to f32 ulp (45 iters),
+then the exact k-th value is extracted as `min{d2 : d2 > lo}` — the
+k-smallest sum is the exact multiset sum (duplicates of the k-th value
+counted via `need`), so the only divergence from the XLA path's
+top_k-then-mean is f32 summation order (≲1 ulp · √k; the parity test
+bounds the partition effect with oracle margins)."""
 
 from __future__ import annotations
 
@@ -31,7 +33,7 @@ from jax.experimental import pallas as pl
 
 from setok_tpu.ops.clustering import ClusterResult
 
-_BISECT_ITERS = 30
+_BISECT_ITERS = 45
 
 
 def _density_kernel(x_tile_ref, x_all_ref, out_ref, *, k, n_valid, c_scale):
@@ -70,13 +72,16 @@ def _density_kernel(x_tile_ref, x_all_ref, out_ref, *, k, n_valid, c_scale):
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
-    # invariant: cnt(d2 <= lo) < k <= cnt(d2 <= hi); items in (lo, hi] all
-    # equal the k-th value up to bisection resolution — sum the certain
-    # ones and fill the remainder at the threshold estimate
+    # invariant: cnt(d2 <= lo) < k <= cnt(d2 <= hi). With the bracket at
+    # f32-ulp width, the k-th smallest value is exactly min{d2 : d2 > lo}
+    # (duplicates of it fill the remaining `need` slots) — no fractional
+    # threshold fill, so the k-smallest sum is the exact multiset sum.
     below = (d2 <= lo).astype(jnp.float32)
     n_below = jnp.sum(below, axis=-1, keepdims=True)
     need = jnp.maximum(k - n_below, 0.0)
-    sum_k = jnp.sum(d2 * below, axis=-1) + hi[:, 0] * need[:, 0]
+    kth = jnp.min(jnp.where(d2 > lo, d2, 1e30), axis=-1)
+    kth = jnp.where(need[:, 0] > 0, kth, 0.0)
+    sum_k = jnp.sum(d2 * below, axis=-1) + kth * need[:, 0]
     out_ref[...] = jnp.exp(-(sum_k / k))[None, :]  # (1, BR)
 
 

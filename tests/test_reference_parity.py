@@ -188,30 +188,71 @@ def test_cluster_dpc_knn_matches_reference_with_token_mask(ref):
                                   idx_cluster.numpy()[:40])
 
 
-def test_cluster_pallas_matches_reference(ref):
-    """The fused Pallas kernel path (interpret mode on CPU) against the
-    reference — float32 inputs, so assert the partition and centers (exact
-    score equality is a float64 test above)."""
+@pytest.mark.parametrize("seed,threshold", [(6, 0.55), (7, 0.55),
+                                            (8, 1e9)])  # 1e9 → fallback
+def test_cluster_pallas_matches_reference_exact(ref, seed, threshold):
+    """Exact-assignment parity for the fused kernel (VERDICT r3 #7).
+
+    The kernel runs f32 while the float64 XLA test above is bit-exact, so
+    exactness here rests on a documented margin analysis: the kernel's
+    density error is ≤ ~1 ulp·√k of f32 summation order (the bisection
+    extracts the exact k-th smallest value — cluster_pallas.py), i.e.
+    ~1e-6 relative. Equality of the discrete outputs (centers, every
+    token's assignment) is therefore guaranteed whenever the ORACLE's own
+    decision margins exceed that noise floor, which the test verifies as a
+    precondition rather than assuming:
+
+      * center margin — min |score − threshold| (threshold mode) or the
+        gap between the min_cluster_num-th and next score (fallback);
+      * assignment margin — per token, the gap between its two smallest
+        center distances.
+
+    Blob data keeps both margins ≥ 1e-3, ~1000× the noise floor."""
     from setok_tpu.kernels.cluster_pallas import cluster_dpc_knn_pallas
 
-    x = make_clustered_data(6).astype(np.float32)
-    k, k_max, min_cn, thr = 8, 16, 4, 0.55
+    x = make_clustered_data(seed).astype(np.float32)
+    k, k_max, min_cn = 8, 16, 4
 
     tok = make_ref_tokenizer(ref, min_cluster_num=min_cn)
     with det_torch_rand(), torch.no_grad():
-        idx_down, idx_cluster, _ = tok.cluster_dpc_knn(
-            torch.tensor(x, dtype=torch.float32), k, None, thr)
+        idx_down, idx_cluster, score = tok.cluster_dpc_knn(
+            torch.tensor(x, dtype=torch.float64), k, None, threshold)
+    idx_down = idx_down.numpy()
+    idx_cluster = idx_cluster.numpy()
+    score = score.reshape(-1).numpy()
+
+    # precondition 1: the oracle's center decision is well-margined
+    if threshold < 1e8:
+        assert np.abs(score - threshold).min() > 1e-3
+    else:
+        s = np.sort(score)[::-1]
+        assert s[min_cn - 1] - s[min_cn] > 1e-3
+    # precondition 2: every token's nearest-center decision is
+    # well-margined (f64 distances to the oracle's centers)
+    x64 = x.astype(np.float64)
+    dc = np.sqrt(((x64[idx_down][:, None] - x64[None]) ** 2).sum(-1))
+    two = np.sort(dc, axis=0)[:2]
+    non_center = np.ones(len(x64), bool)
+    non_center[idx_down] = False
+    assert (two[1] - two[0])[non_center].min() > 1e-3
 
     res = cluster_dpc_knn_pallas(jnp.asarray(x), k=k, k_max=k_max,
-                                 min_cluster_num=min_cn, threshold=thr,
+                                 min_cluster_num=min_cn, threshold=threshold,
                                  interpret=True)
     got_centers = np.asarray(res.center_idx)[np.asarray(res.center_valid)]
-    np.testing.assert_array_equal(got_centers, idx_down.numpy())
-    same_ours = (np.asarray(res.idx_cluster)[:, None]
-                 == np.asarray(res.idx_cluster)[None, :])
-    cl_ref = idx_cluster.numpy()
-    same_ref = cl_ref[:, None] == cl_ref[None, :]
-    assert (same_ours == same_ref).mean() > 0.98
+    np.testing.assert_array_equal(got_centers, np.sort(idx_down))
+    # exact per-token assignment equality (centers self-assign included);
+    # compare cluster slots through the center tokens they point at
+    ours_center_of = np.asarray(res.center_idx)[np.asarray(res.idx_cluster)]
+    ref_order = np.asarray(idx_down)
+    ref_center_of = ref_order[idx_cluster]
+    np.testing.assert_array_equal(ours_center_of, ref_center_of)
+    # scores track the oracle at the f32 noise floor. Small within-blob
+    # parent distances go through the fused a²+b²−2ab distance form, whose
+    # f32 cancellation costs up to ~1e-3 relative on d≈0.05 (absolute
+    # error stays ≤5e-5 — far under the 1e-3 decision margins above).
+    np.testing.assert_allclose(np.asarray(res.score), score,
+                               rtol=3e-3, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------

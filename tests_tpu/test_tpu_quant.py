@@ -75,3 +75,69 @@ def test_int8_cache_decode_kernel_compiles_on_chip():
     interp = np.asarray(int8_cache_decode_attention(*args, interpret=True),
                         np.float32)
     np.testing.assert_allclose(on_chip, interp, rtol=2e-2, atol=2e-2)
+
+
+def test_cache_kernel_opt_in_lowers_on_chip_at_production_shape():
+    """ADVICE r3 low #4: interpret-mode CPU tests admit shapes the Mosaic
+    layout rule silently rejects on hardware. This pins the opt-in
+    int8-cache kernel (cache_kernel=True; the default is XLA dequant —
+    PERF.md 'int8 KV cache') to the production head_dim=128 shape ON the
+    chip and checks fits_vmem gates match what actually lowers."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from setok_tpu.kernels.cache_attention import (fits_vmem,
+                                                   int8_cache_decode_attention)
+
+    B, S, KVH, G, D = 2, 256, 2, 2, 128
+    assert fits_vmem(S, D, KVH, interpret=False)
+    rs = np.random.RandomState(0)
+    q = rs.randn(B, KVH * G, D).astype(np.float32)
+    kf = rs.randn(B, S, KVH, D).astype(np.float32)
+    vf = rs.randn(B, S, KVH, D).astype(np.float32)
+    ks = (np.abs(kf).max(-1) / 127.0 + 1e-8).astype(np.float32)
+    vs = (np.abs(vf).max(-1) / 127.0 + 1e-8).astype(np.float32)
+    k8 = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
+    valid = np.ones((B, S), bool)
+    valid[:, 200:] = False
+
+    got = np.asarray(int8_cache_decode_attention(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(valid),
+        interpret=False))          # real Mosaic lowering, not interpret
+
+    kd = (k8.astype(np.float32) * ks[..., None]).repeat(G, axis=2)
+    vd = (v8.astype(np.float32) * vs[..., None]).repeat(G, axis=2)
+    s = np.einsum("bhd,bshd->bhs", q, kd) / np.sqrt(D)
+    s = np.where(valid[:, None, :], s, -1e30)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhs,bshd->bhd", p, vd)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_cluster_pallas_exact_kth_on_chip():
+    """The bisection's exact-k-th extraction (cluster_pallas.py) must hold
+    under real Mosaic lowering, not just interpret mode: centers and
+    assignments equal the XLA path's on blob data."""
+    import numpy as np
+    import jax.numpy as jnp
+    from setok_tpu.kernels.cluster_pallas import cluster_dpc_knn_pallas
+    from setok_tpu.ops.clustering import cluster_dpc_knn
+
+    rs = np.random.RandomState(11)
+    centers = rs.randn(5, 64) * 3
+    labels = rs.randint(0, 5, size=256)
+    x = (centers[labels] + rs.randn(256, 64) * 0.05).astype(np.float32)
+
+    ours = cluster_dpc_knn_pallas(jnp.asarray(x), k=32, k_max=16,
+                                  min_cluster_num=4, threshold=0.55)
+    ref = cluster_dpc_knn(jnp.asarray(x), k=32, k_max=16,
+                          min_cluster_num=4, threshold=0.55)
+    np.testing.assert_array_equal(np.asarray(ours.center_idx),
+                                  np.asarray(ref.center_idx))
+    oc = np.asarray(ours.center_idx)[np.asarray(ours.idx_cluster)]
+    rc = np.asarray(ref.center_idx)[np.asarray(ref.idx_cluster)]
+    np.testing.assert_array_equal(oc, rc)
