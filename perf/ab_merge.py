@@ -14,6 +14,8 @@ Timing methodology = bench.py (chained scan, slope between two lengths).
 """
 
 import dataclasses
+import json
+import subprocess
 import sys
 import time
 
@@ -71,14 +73,30 @@ def merged_cfgs(merge_layer=3, k_max=48, knn=32):
     return tok, cfgs.base_detokenizer()
 
 
+def _record(value, merge_layer, base):
+    git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True,
+                         cwd="/root/repo").stdout.strip()
+    line = {"metric": "setok_tokenizer_throughput_merge_ab",
+            "value": round(value, 2), "unit": "images/sec",
+            "merge_layer": merge_layer, "batch": BATCH,
+            "vs_unmerged": round(value / base, 4) if base else 1.0,
+            "git": git, "time": time.time()}
+    print(json.dumps(line))
+    with open("/root/repo/perf/history.jsonl", "a") as f:
+        f.write(json.dumps(line) + "\n")
+
+
 def main():
     base = measure(cfgs.base_tokenizer(), cfgs.base_detokenizer())
     print(f"baseline (N=256, k_max=80): {base:.1f} img/s", file=sys.stderr)
+    _record(base, None, base)
     for ml in (1, 3, 5):
         tok, det = merged_cfgs(merge_layer=ml)
         v = measure(tok, det)
         print(f"merge_layer={ml} (N=64 after block {ml}, k_max=48): "
               f"{v:.1f} img/s ({v / base:.2f}x)", file=sys.stderr)
+        _record(v, ml, base)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,11 @@ def main():
 
     import numpy as np
     import jax
+    if args.cpu:
+        # the hosted axon plugin ignores the JAX_PLATFORMS env var; the
+        # config update is the working CPU-force (XLA_FLAGS above must
+        # still be set before first backend init for the device count)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -85,10 +90,11 @@ def main():
                        in_shardings=(repl, batch_sh))
 
     def timed(iters, seed):
+        # device-generated then resharded (no host round-trip — the input
+        # pipeline is benched separately in perf/data_bench.py)
         imgs = jax.device_put(
-            np.asarray(jax.random.uniform(jax.random.PRNGKey(seed),
-                                          shape, jnp.float32, -1, 1)),
-            batch_sh)
+            jax.random.uniform(jax.random.PRNGKey(seed), shape,
+                               jnp.float32, -1, 1), batch_sh)
         t0 = time.perf_counter()
         float(bench_fn(params, imgs, iters))
         return time.perf_counter() - t0
@@ -99,6 +105,26 @@ def main():
     t_small = min(timed(small, 1), timed(small, 2))
     t_big = min(timed(big, 3), timed(big, 4))
     ips = B * (big - small) / (t_big - t_small)
+
+    # unmeshed control IN THE SAME PROCESS/tunnel session (bench.py's exact
+    # jit, no shardings, device-generated inputs): separates "the meshed
+    # graph is slower" from cross-session tunnel variance.
+    ctrl_fn = jax.jit(chained, static_argnums=2)
+
+    def timed_ctrl(iters, seed):
+        imgs = jax.random.uniform(jax.random.PRNGKey(seed), shape,
+                                  jnp.float32, -1.0, 1.0)
+        t0 = time.perf_counter()
+        float(ctrl_fn(params, imgs, iters))
+        return time.perf_counter() - t0
+
+    timed_ctrl(small, 100)
+    timed_ctrl(big, 101)
+    c_small = min(timed_ctrl(small, 1), timed_ctrl(small, 2))
+    c_big = min(timed_ctrl(big, 3), timed_ctrl(big, 4))
+    ips_ctrl = B * (big - small) / (c_big - c_small)
+    print(f"unmeshed control (same session): {ips_ctrl:.1f} img/s "
+          f"(meshed/control = {ips / ips_ctrl:.3f})", file=sys.stderr)
 
     if args.check:
         # sharded program == unsharded forward on the same global batch
@@ -111,6 +137,7 @@ def main():
 
     line = {"metric": "setok_tokenizer_throughput_dp_mesh",
             "value": round(ips, 2), "unit": "images/sec",
+            "unmeshed_control": round(ips_ctrl, 2),
             "dp": args.dp, "per_device_batch": args.batch,
             "platform": "cpu" if args.cpu else "tpu",
             "git": subprocess.run(["git", "rev-parse", "--short", "HEAD"],

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Follow-up TPU queue (round 4, second wave): re-runs of the harnesses
+# fixed AFTER the first queue started — do not edit tpu_pending.sh while
+# bash is mid-file. Same rules: serialize, one TPU proc, per-item
+# completion sentinels into perf/history.jsonl.
+set -x
+cd /root/repo
+
+sentinel() {  # sentinel <item-name> <rc>
+  python - "$1" "$2" <<'EOF'
+import json, subprocess, sys, time
+git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                     capture_output=True, text=True).stdout.strip()
+line = {"tpu_queue": sys.argv[1], "rc": int(sys.argv[2]), "git": git,
+        "time": time.time()}
+open("perf/history.jsonl", "a").write(json.dumps(line) + "\n")
+EOF
+}
+
+timeout 120 python -c "import jax; print(jax.devices())" || exit 1
+
+# 1. token-merge A/B, now APPENDING history entries (first run printed to
+#    the queue log only)
+timeout 1750 python perf/ab_merge.py; sentinel ab_merge_v2 $?
+
+# 2. meshed bench dp=1 with the in-process unmeshed control (first run
+#    read 995 vs the 1568 headline — separate graph cost from tunnel
+#    session variance) + device-generated inputs
+timeout 1200 python perf/bench_mesh.py --dp 1; sentinel bench_mesh_v2 $?
+
+# 3. train-step MFU with a real readback barrier (first run timed dispatch
+#    enqueue: 138% "MFU")
+timeout 1200 python perf/train_bench.py --stage 1 --scale base --batch 16 \
+    --steps 10 --warmup 2; sentinel train_bench_s1_v2 $?
+timeout 1200 python perf/train_bench.py --stage 2 --scale mid --batch 4 \
+    --steps 8 --warmup 2; sentinel train_bench_s2_v2 $?

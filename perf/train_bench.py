@@ -136,15 +136,21 @@ def main():
 
     flops = flops_of(lowered) if lowered is not None else 0.0
 
+    # Methodology (bench.py docstring): on the hosted-TPU tunnel
+    # jax.block_until_ready does NOT wait for remote execution — only a
+    # host READBACK does. The state threads through every step, so reading
+    # back the last step's loss forces the whole timed chain. (The r4
+    # first-run barrier was block_until_ready and reported 138% MFU —
+    # i.e. it timed dispatch enqueue, not execution.)
     for i in range(args.warmup):
         rng, k = jax.random.split(rng)
         state, metrics = step(state, k)
-    jax.block_until_ready(metrics)
+    float(jax.tree_util.tree_leaves(metrics)[0])      # readback barrier
     t0 = time.time()
     for i in range(args.steps):
         rng, k = jax.random.split(rng)
         state, metrics = step(state, k)
-    jax.block_until_ready(metrics)
+    float(jax.tree_util.tree_leaves(metrics)[0])      # readback barrier
     dt = (time.time() - t0) / args.steps
 
     out = {"bench": label, "batch": args.batch, "ms_per_step": dt * 1e3,
@@ -156,6 +162,14 @@ def main():
         if not args.cpu:
             out["mfu_bf16_pct"] = 100.0 * flops / dt / V5E_PEAK["bf16"]
     print(json.dumps(out))
+    if not args.cpu:
+        import subprocess
+        git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd="/root/repo").stdout.strip()
+        with open("/root/repo/perf/history.jsonl", "a") as f:
+            f.write(json.dumps({"metric": "train_step_ms", **out,
+                                "git": git, "time": time.time()}) + "\n")
 
 
 if __name__ == "__main__":

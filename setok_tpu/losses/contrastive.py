@@ -95,18 +95,21 @@ class ContrastiveLoss(nn.Module):
         logits_per_img = image_x @ _gather(text_x, axis_name).T  # (bl1, Wbl2)
         logits_per_text = text_x @ _gather(image_x, axis_name).T
 
-        # Soft targets put uniform 1/L mass ONLY on own-sample pairs in the
-        # own-rank slot (multilabel_constrastive.py:113-131) — so instead
-        # of materializing the dense (b, L, b, L, world) label tensor (the
+        # Soft targets put uniform 1/L_col mass ONLY on own-sample pairs in
+        # the own-rank slot (multilabel_constrastive.py:104-131: the target
+        # rows for logits_per_img carry `ones/dist_per_text.size(1)` = 1/L2
+        # on each of their L2 own-block columns) — so instead of
+        # materializing the dense (b, L, b, L, world) label tensor (the
         # r2 memory hazard at GroupViT scale), slice the log-probs down to
-        # the own-rank, own-sample block and sum there. Identical math.
+        # the own-rank, own-sample block and sum there. Identical math
+        # (oracle: tests/test_reference_parity_losses.py, L1≠L2 included).
         def _masked_ce(logits, l_row, l_col):
             logp = jax.nn.log_softmax(logits * scale, axis=-1)
             lp = logp.reshape(b, l_row, world, b, l_col)
             lp_rank = jax.lax.dynamic_index_in_dim(lp, rank, axis=2,
                                                    keepdims=False)
             own = lp_rank[jnp.arange(b), :, jnp.arange(b), :]  # (b,lr,lc)
-            return jnp.mean(-jnp.sum(own, axis=-1) / l_row)
+            return jnp.mean(-jnp.sum(own, axis=-1) / l_col)
 
         loss_img = _masked_ce(logits_per_img, l1, l2)
         loss_text = _masked_ce(logits_per_text, l2, l1)

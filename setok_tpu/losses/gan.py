@@ -99,8 +99,9 @@ def adaptive_weight(rec_grad, g_grad, weight: float = 1.0) -> jnp.ndarray:
     """
     def norm(tree):
         leaves = jax.tree_util.tree_leaves(tree)
-        return jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2)
-                            for l in leaves))
+        return jnp.sqrt(sum(
+            jnp.sum(l.astype(jnp.promote_types(l.dtype, jnp.float32)) ** 2)
+            for l in leaves))
 
     w = norm(rec_grad) / (norm(g_grad) + 1e-4)
     return jax.lax.stop_gradient(jnp.clip(w, 0.0, 1e4)) * weight

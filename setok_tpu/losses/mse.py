@@ -15,7 +15,8 @@ import jax.numpy as jnp
 def weighted_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
                       loss_mask: Optional[jnp.ndarray] = None,
                       weight: float = 1.0) -> jnp.ndarray:
-    err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    dt = jnp.promote_types(jnp.result_type(pred, target), jnp.float32)
+    err = (pred.astype(dt) - target.astype(dt)) ** 2
     if loss_mask is not None:
         err = err * loss_mask
         denom = jnp.sum(loss_mask, axis=(-2, -1)) + 1.0
@@ -27,5 +28,5 @@ def weighted_mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Per-sample-mean absolute error (taming-style rec loss component)."""
-    return jnp.mean(jnp.abs(pred.astype(jnp.float32)
-                            - target.astype(jnp.float32)))
+    dt = jnp.promote_types(jnp.result_type(pred, target), jnp.float32)
+    return jnp.mean(jnp.abs(pred.astype(dt) - target.astype(dt)))

@@ -210,9 +210,14 @@ def test_multi_label_sliced_equals_dense_oracle():
     lpi = ix @ tx.T * scale
     lpt = tx @ ix.T * scale
     eye = np.eye(b)
-    lbl_i = (eye[:, None, :, None] / l1
+    # target mass per own-block column is 1/L_col: the reference builds
+    # `ones_like(dist_per_text) / dist_per_text.size(1)` = 1/L2 for the
+    # image rows (multilabel_constrastive.py:104-106) — pinned by the
+    # import-the-reference oracle in test_reference_parity_losses.py
+    # (this transcription previously divided by l_row, a drift).
+    lbl_i = (eye[:, None, :, None] / l2
              * np.ones((b, l1, b, l2))).reshape(b * l1, b * l2)
-    lbl_t = (eye[:, None, :, None] / l2
+    lbl_t = (eye[:, None, :, None] / l1
              * np.ones((b, l2, b, l1))).reshape(b * l2, b * l1)
 
     def soft_ce(lg, t):

@@ -44,6 +44,15 @@ TARGET_ID = 3          # vocab id of <target> (our convention keeps the real
 
 
 def _stub(name, is_pkg=False):
+    """Get-or-create a stub module. MUST be additive: other parity test
+    modules (test_reference_parity.py, test_reference_parity_losses.py)
+    register their own minimal `timm`/`torchvision` stubs, and in a
+    single-process whole-suite run whichever fixture runs first wins the
+    top-level name — so each fixture registers every leaf submodule it
+    needs instead of guarding on the top-level name (the r4 whole-suite
+    ERROR: 'timm.models' is not a package)."""
+    if name in sys.modules:
+        return sys.modules[name]
     m = types.ModuleType(name)
     m.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=is_pkg)
     if is_pkg:
@@ -61,50 +70,53 @@ def ref_arch():
     if "src.model.setokim_arch" in sys.modules:
         return sys.modules["src.model.setokim_arch"]
 
-    if "timm" not in sys.modules:
-        timm = _stub("timm", True)
-        models = _stub("timm.models", True)
-        layers = _stub("timm.models.layers")
-        vt = _stub("timm.models.vision_transformer")
-        tloss = _stub("timm.loss")
+    timm = _stub("timm", True)
+    models = _stub("timm.models", True)
+    layers = _stub("timm.models.layers")
+    vt = _stub("timm.models.vision_transformer")
+    tloss = _stub("timm.loss")
 
-        class DropPath(tnn.Identity):
-            def __init__(self, *a, **k):
-                super().__init__()
+    class DropPath(tnn.Identity):
+        def __init__(self, *a, **k):
+            super().__init__()
 
-        class Block(tnn.Module):
-            def __init__(self, *a, **k):
-                super().__init__()
+    class Block(tnn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
 
-            def forward(self, x):
-                return x
+        def forward(self, x):
+            return x
 
-        class SoftTargetCrossEntropy(tnn.Module):
-            pass
+    class SoftTargetCrossEntropy(tnn.Module):
+        pass
 
+    if not hasattr(layers, "DropPath"):
         layers.DropPath = DropPath
+    if not hasattr(vt, "Block"):
         vt.Block = Block
+    if not hasattr(tloss, "SoftTargetCrossEntropy"):
         tloss.SoftTargetCrossEntropy = SoftTargetCrossEntropy
-        timm.models = models
-        models.layers = layers
-        models.vision_transformer = vt
-        timm.loss = tloss
-    if "diffusers" not in sys.modules:
-        diffusers = _stub("diffusers", True)
-        dm = _stub("diffusers.models", True)
-        da = _stub("diffusers.models.autoencoders", True)
-        vae = _stub("diffusers.models.autoencoders.vae")
+    timm.models = models
+    models.layers = layers
+    models.vision_transformer = vt
+    timm.loss = tloss
 
-        class Decoder(tnn.Module):
-            pass
+    diffusers = _stub("diffusers", True)
+    dm = _stub("diffusers.models", True)
+    da = _stub("diffusers.models.autoencoders", True)
+    vae = _stub("diffusers.models.autoencoders.vae")
 
+    class Decoder(tnn.Module):
+        pass
+
+    if not hasattr(vae, "Decoder"):
         vae.Decoder = Decoder
-        diffusers.models = dm
-        dm.autoencoders = da
-        da.vae = vae
-    if "torchvision" not in sys.modules:
-        tv = _stub("torchvision", True)
-        tv.models = _stub("torchvision.models")
+    diffusers.models = dm
+    dm.autoencoders = da
+    da.vae = vae
+
+    tv = _stub("torchvision", True)
+    tv.models = _stub("torchvision.models")
     try:
         import diffdist  # noqa: F401
     except ModuleNotFoundError:
