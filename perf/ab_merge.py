@@ -63,23 +63,30 @@ def measure(tok_cfg, det_cfg, quant8=True):
     return BATCH * (ITERS_BIG - ITERS_SMALL) / (t_big - t_small)
 
 
-def merged_cfgs(merge_layer=3, k_max=48, knn=32):
+def merged_cfgs(merge_layer=3, k_max=48, knn=32, detok_patch=None):
     tok = cfgs.base_tokenizer()
-    vit = dataclasses.replace(tok.vit, merge_layer=merge_layer)
-    tok = dataclasses.replace(tok, vit=vit, k_max=k_max, knn=knn,
-                              min_cluster_num=min(64, k_max))
+    if merge_layer is not None:
+        vit = dataclasses.replace(tok.vit, merge_layer=merge_layer)
+        tok = dataclasses.replace(tok, vit=vit, k_max=k_max, knn=knn,
+                                  min_cluster_num=min(64, k_max))
     # the detokenizer consumes (B, k_max, D) + validity mask — its own query
-    # count is grid², independent of k_max
-    return tok, cfgs.base_detokenizer()
+    # count is grid², independent of k_max. detok_patch=32 quarters it (the
+    # decode-side counterpart of merge_layer; ab_merge_split.py shows the
+    # detokenizer bounds the merge variant's ceiling).
+    det = cfgs.base_detokenizer()
+    if detok_patch is not None:
+        det = dataclasses.replace(det, patch_size=detok_patch)
+    return tok, det
 
 
-def _record(value, merge_layer, base):
+def _record(value, merge_layer, base, detok_patch=None):
     git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
                          cwd="/root/repo").stdout.strip()
     line = {"metric": "setok_tokenizer_throughput_merge_ab",
             "value": round(value, 2), "unit": "images/sec",
-            "merge_layer": merge_layer, "batch": BATCH,
+            "merge_layer": merge_layer, "detok_patch": detok_patch,
+            "batch": BATCH,
             "vs_unmerged": round(value / base, 4) if base else 1.0,
             "git": git, "time": time.time()}
     print(json.dumps(line))
@@ -97,6 +104,12 @@ def main():
         print(f"merge_layer={ml} (N=64 after block {ml}, k_max=48): "
               f"{v:.1f} img/s ({v / base:.2f}x)", file=sys.stderr)
         _record(v, ml, base)
+    for ml, dp in ((None, 32), (1, 32)):
+        tok, det = merged_cfgs(merge_layer=ml, detok_patch=dp)
+        v = measure(tok, det)
+        print(f"merge_layer={ml} detok_patch={dp}: {v:.1f} img/s "
+              f"({v / base:.2f}x)", file=sys.stderr)
+        _record(v, ml, base, detok_patch=dp)
 
 
 if __name__ == "__main__":

@@ -34,3 +34,12 @@ timeout 1200 python perf/train_bench.py --stage 1 --scale base --batch 16 \
     --steps 10 --warmup 2; sentinel train_bench_s1_v2 $?
 timeout 1200 python perf/train_bench.py --stage 2 --scale mid --batch 4 \
     --steps 8 --warmup 2; sentinel train_bench_s2_v2 $?
+
+# 4. component split of the merge variant: tokenize vs detokenize ms/img
+#    (the detokenizer's grid^2-query mapper doesn't shrink with N — how
+#    hard does Amdahl bite at merge_layer=1?)
+timeout 1750 python perf/ab_merge_split.py; sentinel ab_merge_split $?
+
+# 5. real-chip test tier (exact-kth cluster kernel under Mosaic, opt-in
+#    cache kernel at head_dim=128, chip-vs-CPU SSIM equality, ...)
+timeout 3000 python -m pytest tests_tpu/ -q -x; sentinel tests_tpu $?

@@ -46,6 +46,9 @@ def main():
                    help="2x2 token merge after this ViT block — MUST match "
                         "the trained run's (cluster knobs are clamped to "
                         "the merged patch count, like train_setok.py)")
+    p.add_argument("--detok-patch", type=int, default=None,
+                   help="detokenizer patch size — MUST match the trained "
+                        "run's (see train_setok.py --detok-patch)")
     p.add_argument("--eval-seed", type=int, default=10_000,
                    help="seed offset for the synthetic eval set (held out "
                         "from training's seeds)")
@@ -90,6 +93,11 @@ def main():
         tok_cfg = cfgs.replace(tok_cfg, vit=vit)
     if overrides:
         tok_cfg = cfgs.replace(tok_cfg, **overrides)
+    if args.detok_patch is not None:
+        if det_cfg.image_size % args.detok_patch:
+            raise SystemExit(f"--detok-patch {args.detok_patch} must divide "
+                             f"image size {det_cfg.image_size}")
+        det_cfg = cfgs.replace(det_cfg, patch_size=args.detok_patch)
     kw = {}
     if args.precision == "bf16":
         kw = dict(dtype=jnp.bfloat16)

@@ -47,6 +47,12 @@ def parse_args():
     p.add_argument("--min-cluster-num", type=int, default=64)
     p.add_argument("--threshold", type=float, default=0.55)
     p.add_argument("--k-max", type=int, default=80)
+    p.add_argument("--detok-patch", type=int, default=None,
+                   help="detokenizer patch size (default 16). 32 quarters "
+                        "the grid^2-query mapper+decoder cost — the "
+                        "decode-side counterpart of --merge-layer "
+                        "(PERF.md 'token-merge'); the variant trains its "
+                        "own checkpoint")
     p.add_argument("--merge-layer", type=int, default=None,
                    help="2x2 token merge after this ViT block (smaller-N "
                         "variant; PERF.md 'token-merge'). Cluster knobs are "
@@ -127,6 +133,11 @@ def main():
             threshold=args.threshold, k_max=k_max, knn=knn)
         det_cfg = cfgs.replace(cfgs.base_detokenizer(),
                                image_size=args.image_size)
+    if args.detok_patch is not None:
+        if args.image_size % args.detok_patch:
+            raise SystemExit(f"--detok-patch {args.detok_patch} must divide "
+                             f"--image-size {args.image_size}")
+        det_cfg = cfgs.replace(det_cfg, patch_size=args.detok_patch)
 
     train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
                                  warmup_steps=args.warmup_steps,

@@ -129,3 +129,56 @@ def test_merge_fully_frozen_without_merge():
 
     g = jax.grad(loss)(params)["params"]["image_feature_encoder"]
     assert all(float(jnp.sum(x ** 2)) == 0.0 for x in jax.tree.leaves(g))
+
+
+def test_detok_patch_variant_shapes():
+    """--detok-patch 32 counterpart (PERF.md 'token-merge'): patch 2x →
+    grid^2/4 mapper+decoder queries, same output image size."""
+    from setok_tpu.models.detokenizer import SetokDeTokenizer
+
+    det = dataclasses.replace(cfgs.tiny_detokenizer(), patch_size=16)
+    assert det.image_size % det.patch_size == 0
+    m = SetokDeTokenizer(det)
+    toks = jax.random.normal(jax.random.PRNGKey(0),
+                             (2, 5, det.token_feat_dim))
+    out = m.apply(m.init(jax.random.PRNGKey(1), toks), toks)
+    assert out.image.shape == (2, det.image_size, det.image_size, 3)
+    assert out.hidden.shape == (2, det.grid ** 2, det.decoder_embed_dim)
+    # halving the grid: 4x fewer queries, identical image shape
+    det2 = dataclasses.replace(det, patch_size=det.patch_size * 2)
+    m2 = SetokDeTokenizer(det2)
+    out2 = m2.apply(m2.init(jax.random.PRNGKey(1), toks), toks)
+    assert out2.image.shape == (2, det.image_size, det.image_size, 3)
+    assert out2.hidden.shape[1] == out.hidden.shape[1] // 4
+
+
+def test_setok_merge_plus_detok_patch_end_to_end():
+    """The combined fast recipe (merge_layer + coarse detok patch) runs as
+    one SeTok forward and a stage-1 train step."""
+    from setok_tpu.models.setok import SeTok
+    from setok_tpu.train.stage1 import Stage1Trainer
+    import numpy as np
+
+    tc = cfgs.tiny_tokenizer()
+    vit = dataclasses.replace(tc.vit, merge_layer=0)
+    n_out = vit.num_output_patches
+    tc = dataclasses.replace(tc, vit=vit, k_max=min(tc.k_max, n_out),
+                             knn=min(tc.knn, n_out),
+                             min_cluster_num=min(tc.min_cluster_num, n_out))
+    det = dataclasses.replace(cfgs.tiny_detokenizer(),
+                              patch_size=cfgs.tiny_detokenizer().patch_size
+                              * 2)
+    model = SeTok(tc, det)
+    size = tc.vit.image_size
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, size, size, 3),
+                              jnp.float32, -1.0, 1.0)
+    out = model.apply(model.init(jax.random.PRNGKey(1), imgs), imgs)
+    assert out.recon.shape == (2, size, size, 3)
+
+    trainer = Stage1Trainer(tc, det,
+                            train_cfg=cfgs.TrainConfig(batch_size=2,
+                                                       warmup_steps=0))
+    batch = {"comp_image": imgs, "gen_image": imgs}
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
