@@ -43,3 +43,16 @@ timeout 1750 python perf/ab_merge_split.py; sentinel ab_merge_split $?
 # 5. real-chip test tier (exact-kth cluster kernel under Mosaic, opt-in
 #    cache kernel at head_dim=128, chip-vs-CPU SSIM equality, ...)
 timeout 3000 python -m pytest tests_tpu/ -q -x; sentinel tests_tpu $?
+
+# 6. quality A/B for the combined fast recipe (merge_layer=1 +
+#    detok_patch=32) — lowest priority; runs only if the window allows
+timeout 3500 python scripts/train_setok.py --synthetic 512 \
+    --synthetic-structured --steps 1500 --batch-size 16 --threshold 0.3 \
+    --merge-layer 1 --detok-patch 32 --output-dir /tmp/qd_combo \
+    --disc-start 100000 --checkpoint-every 500
+sentinel qd_train_combo $?
+timeout 1200 python scripts/eval_recon.py --synthetic 128 \
+    --synthetic-structured --stage1-dir /tmp/qd_combo --threshold 0.3 \
+    --merge-layer 1 --detok-patch 32 --batch-size 16 --fid \
+    --eval-seed 10000
+sentinel qd_eval_combo $?
