@@ -45,6 +45,22 @@ def run(quant8: bool):
         tok_cfg = cfgs.base_tokenizer()
         det_cfg = cfgs.base_detokenizer()
         param_dtype = jnp.float32
+    # opt-in smaller-N throughput variants (PERF.md "token-merge"): the
+    # headline stays the parity config until the quality A/B justifies a
+    # flip; these knobs let the same harness bench the variants.
+    merge = os.environ.get("SETOK_BENCH_MERGE_LAYER")
+    if merge is not None and SCALE == "base":
+        import dataclasses
+        vit = dataclasses.replace(tok_cfg.vit, merge_layer=int(merge))
+        n_out = vit.num_output_patches
+        tok_cfg = dataclasses.replace(
+            tok_cfg, vit=vit, k_max=min(tok_cfg.k_max, 48),
+            knn=min(tok_cfg.knn, n_out),
+            min_cluster_num=min(tok_cfg.min_cluster_num, 48))
+    detok_patch = os.environ.get("SETOK_BENCH_DETOK_PATCH")
+    if detok_patch is not None and SCALE == "base":
+        import dataclasses
+        det_cfg = dataclasses.replace(det_cfg, patch_size=int(detok_patch))
     model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16,
                   param_dtype=param_dtype, quant8=quant8)
 
@@ -107,6 +123,10 @@ def main():
     metric = "setok_tokenizer_throughput_256px_encode_cluster_decode"
     if SCALE != "base":
         metric += f"_{SCALE}"
+    if os.environ.get("SETOK_BENCH_MERGE_LAYER"):
+        metric += f"_merge{os.environ['SETOK_BENCH_MERGE_LAYER']}"
+    if os.environ.get("SETOK_BENCH_DETOK_PATCH"):
+        metric += f"_dp{os.environ['SETOK_BENCH_DETOK_PATCH']}"
     result = {
         "metric": metric,
         "value": round(images_per_sec, 2),
