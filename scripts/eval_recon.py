@@ -174,6 +174,24 @@ def main():
 
     print(json.dumps(result))
 
+    if not args.cpu:
+        import subprocess
+        import time
+        git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__)))).stdout.strip()
+        line = {"metric": "eval_recon", **result,
+                "stage1_dir": args.stage1_dir,
+                "merge_layer": args.merge_layer,
+                "detok_patch": args.detok_patch,
+                "threshold": args.threshold, "eval_seed": args.eval_seed,
+                "git": git, "time": time.time()}
+        hist = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "perf", "history.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps(line) + "\n")
+
 
 if __name__ == "__main__":
     main()
