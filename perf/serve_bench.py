@@ -114,7 +114,7 @@ def main():
                 while any(not r.done for r in reqs):
                     eng.step()
             n_tok = sum(len(r.tokens) for r in reqs) - done0
-            dev_ms = _trace_device_ms(trace_dir, [match])[match]
+            dev_ms = _trace_device_ms(trace_dir, [match], prefix="")[match]
             # one engine step serves every active slot; per-token device
             # cost is the step cost amortized over slots
             line = {"metric": "serve_decode_device_ms",

@@ -101,7 +101,8 @@ def main():
         tps = (n1 - n0) / dt
         dev_ms = 0.0
         if not args.cpu:
-            dev_ms = _trace_device_ms(trace_dir, ["_step_impl"])["_step_impl"]
+            dev_ms = _trace_device_ms(trace_dir, ["_step_impl"],
+                                      prefix="")["_step_impl"]
         steps = max((n1 - n0) // args.slots, 1)
         streams[bits] = [list(r.tokens) for r in reqs]
         match = ""

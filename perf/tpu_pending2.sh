@@ -28,6 +28,11 @@ timeout 1750 python perf/ab_merge.py; sentinel ab_merge_v2 $?
 #    session variance) + device-generated inputs
 timeout 1200 python perf/bench_mesh.py --dp 1; sentinel bench_mesh_v2 $?
 
+# 2b. engine bits A/B re-run: the r4 first run's device-ms column was 0.0
+#     (trace helper hardwired the chain_ prefix); the fixed helper also
+#     dumps top device events if the name still doesn't match
+timeout 1750 python perf/serve_bits_ab.py; sentinel serve_bits_ab_v2 $?
+
 # 3. train-step MFU with a real readback barrier (first run timed dispatch
 #    enqueue: 138% "MFU")
 timeout 1200 python perf/train_bench.py --stage 1 --scale base --batch 16 \

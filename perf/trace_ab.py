@@ -42,8 +42,14 @@ def chain(fn: Callable, iters: int, name: str):
     return jax.jit(chained)
 
 
-def _trace_device_ms(trace_dir: str, names, pid_hint: int = 3):
-    """Sum device-lane event durations per jit-name substring → ms."""
+def _trace_device_ms(trace_dir: str, names, pid_hint: int = 3,
+                     prefix: str = "chain_"):
+    """Sum device-lane event durations per jit-name substring → ms.
+
+    `prefix` defaults to the chain() wrapper's naming convention; pass
+    prefix="" to match arbitrary jit names (serve_bench/_bits_ab match the
+    engine's `_step_impl`/`_step_multi_impl` directly — the r4 first-run
+    0.0s came from the hardwired chain_ prefix silently never matching)."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     assert paths, f"no trace file under {trace_dir}"
@@ -66,8 +72,21 @@ def _trace_device_ms(trace_dir: str, names, pid_hint: int = 3):
             continue
         nm = e.get("name", "")
         for n in names:
-            if f"chain_{n}" in nm:
+            if f"{prefix}{n}" in nm:
                 totals[n] += e.get("dur", 0.0)
+    if all(v == 0.0 for v in totals.values()):
+        # diagnose instead of silently reporting 0: top device events
+        import sys
+        by_dur = {}
+        for e in events:
+            if e.get("ph") == "X" and e.get("pid") in device_pids:
+                by_dur[e.get("name", "?")] = (by_dur.get(e.get("name", "?"),
+                                                         0.0)
+                                              + e.get("dur", 0.0))
+        top = sorted(by_dur.items(), key=lambda kv: -kv[1])[:12]
+        print(f"trace_ab: no events matched {prefix}+{list(names)}; "
+              f"device pids {device_pids}; top events: {top}",
+              file=sys.stderr)
     return {n: totals[n] / 1000.0 for n in names}
 
 
