@@ -29,6 +29,11 @@ from perf.trace_ab import _trace_device_ms                  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-new", type=int, default=96)
+    ap.add_argument("--decode-block", type=int, default=8,
+                    help="on-device steps per host dispatch — at block=1 "
+                         "the ~200 ms tunnel dispatch swamps the ~ms device "
+                         "step and the bits deltas are invisible in wall "
+                         "tok/s (r4 first run)")
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--hidden", type=int, default=1024)
@@ -84,11 +89,15 @@ def main():
         params = (base_params if bits == 16
                   else quantize_trunk_weights(base_params, bits=bits))
         eng = ServeEngine(model, params, max_batch=args.slots, prompt_len=L,
-                          max_len=L + args.max_new + 4, eos_id=-1, pad_id=0)
+                          max_len=L + args.max_new + 4, eos_id=-1, pad_id=0,
+                          decode_block=args.decode_block)
         reqs = [eng.submit(prompt(s), max_new_tokens=args.max_new)
                 for s in range(args.slots)]
-        for _ in range(4):
-            eng.step()                       # compile
+        # warm/compile without consuming the whole generation budget (a
+        # block dispatch emits decode_block tokens per slot)
+        warm = max(1, min(4, (args.max_new // 2) // args.decode_block))
+        for _ in range(warm):
+            eng.step()
         n0 = sum(len(r.tokens) for r in reqs)
         trace_dir = "/tmp/trace_serve_bits"
         shutil.rmtree(trace_dir, ignore_errors=True)
@@ -100,9 +109,13 @@ def main():
         n1 = sum(len(r.tokens) for r in reqs)
         tps = (n1 - n0) / dt
         dev_ms = 0.0
+        trace_name = ("_step_multi_impl" if args.decode_block > 1
+                      else "_step_impl")
         if not args.cpu:
-            dev_ms = _trace_device_ms(trace_dir, ["_step_impl"],
-                                      prefix="")["_step_impl"]
+            dev_ms = _trace_device_ms(trace_dir, [trace_name],
+                                      prefix="")[trace_name]
+        # a block dispatch runs decode_block device steps; normalize to
+        # per-single-step so bits variants compare on device time
         steps = max((n1 - n0) // args.slots, 1)
         streams[bits] = [list(r.tokens) for r in reqs]
         match = ""
