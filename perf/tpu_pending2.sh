@@ -61,3 +61,7 @@ timeout 1200 python scripts/eval_recon.py --synthetic 128 \
     --merge-layer 1 --detok-patch 32 --batch-size 16 --fid \
     --eval-seed 10000
 sentinel qd_eval_combo $?
+
+# 7. serve_bench re-run (best-effort): device-ms rows with the fixed
+#    trace-name matching
+timeout 1750 python perf/serve_bench.py; sentinel serve_bench_v2 $?
