@@ -33,6 +33,14 @@ timeout 1200 python perf/bench_mesh.py --dp 1; sentinel bench_mesh_v2 $?
 #     dumps top device events if the name still doesn't match
 timeout 1750 python perf/serve_bits_ab.py; sentinel serve_bits_ab_v2 $?
 
+# 2c. quant8 precision-sweep row re-run: wave-1 hit the 1200s timeout
+#     (rc 124 sentinel) — int8 Pallas compile at batch 16 + FID re-jit;
+#     give it the full window (compile cache is on by default: 'auto')
+timeout 3000 python scripts/eval_recon.py --synthetic 128 \
+    --synthetic-structured --stage1-dir /tmp/qd_run --threshold 0.3 \
+    --batch-size 16 --fid --eval-seed 10000 --precision quant8
+sentinel qd_eval_quant8_v2 $?
+
 # 3. train-step MFU with a real readback barrier (first run timed dispatch
 #    enqueue: 138% "MFU")
 timeout 1200 python perf/train_bench.py --stage 1 --scale base --batch 16 \
