@@ -36,9 +36,11 @@ timeout 1750 python perf/serve_bits_ab.py; sentinel serve_bits_ab_v2 $?
 # 2c. quant8 precision-sweep row re-run: wave-1 hit the 1200s timeout
 #     (rc 124 sentinel) — int8 Pallas compile at batch 16 + FID re-jit;
 #     give it the full window (compile cache is on by default: 'auto')
+#     batch 64 == the bench's compiled shape -> persistent-cache hit for
+#     the int8 forward (PSNR/SSIM are batch-size-invariant; 128 = 2x64)
 timeout 3000 python scripts/eval_recon.py --synthetic 128 \
     --synthetic-structured --stage1-dir /tmp/qd_run --threshold 0.3 \
-    --batch-size 16 --fid --eval-seed 10000 --precision quant8
+    --batch-size 64 --fid --eval-seed 10000 --precision quant8
 sentinel qd_eval_quant8_v2 $?
 
 # 3. train-step MFU with a real readback barrier (first run timed dispatch

@@ -159,15 +159,20 @@ def main():
               "mean_clusters": float(np.mean(ncs))}
 
     if args.fid:
-        feat_model = model  # frozen tokenizer pooled tokens as features
-        def feats(imgs):
-            out = model.apply(params, jnp.asarray(imgs),
-                              method=model.tokenize)
+        # jitted: unjitted apply dispatches op-by-op through the hosted
+        # tunnel (~15 ms/op) — the r4 quant8 eval blew a 1200 s timeout on
+        # exactly this before the fix
+        @jax.jit
+        def _pooled(p, imgs):
+            out = model.apply(p, imgs, method=model.tokenize)
             denom = jnp.maximum(
                 jnp.sum(out.token_valid, -1, keepdims=True), 1)
-            pooled = (jnp.sum(out.tokens * out.token_valid[..., None], 1)
-                      / denom)
-            return np.asarray(pooled, np.float32)
+            return (jnp.sum(out.tokens * out.token_valid[..., None], 1)
+                    / denom)
+
+        def feats(imgs):
+            return np.asarray(_pooled(params, jnp.asarray(imgs)),
+                              np.float32)
         result["fid_vitfeat"] = compute_fid(
             images, np.concatenate(recons), feats,
             batch_size=args.batch_size)
