@@ -43,6 +43,14 @@ timeout 3000 python scripts/eval_recon.py --synthetic 128 \
     --batch-size 64 --fid --eval-seed 10000 --precision quant8
 sentinel qd_eval_quant8_v2 $?
 
+# 2d. merge3 eval re-run: wave-1 rc=1 — eval_recon replaced the vit
+#     before the clamped knobs landed (fixed: atomic replace); the
+#     trained checkpoint at /tmp/qd_merge3 is intact
+timeout 1200 python scripts/eval_recon.py --synthetic 128 \
+    --synthetic-structured --stage1-dir /tmp/qd_merge3 --threshold 0.3 \
+    --merge-layer 3 --batch-size 16 --fid --eval-seed 10000
+sentinel qd_eval_merge3_v2 $?
+
 # 3. train-step MFU with a real readback barrier (first run timed dispatch
 #    enqueue: 138% "MFU")
 timeout 1200 python perf/train_bench.py --stage 1 --scale base --batch 16 \

@@ -90,7 +90,10 @@ def main():
             overrides.get("min_cluster_num", tok_cfg.min_cluster_num),
             overrides["k_max"])
         overrides["knn"] = min(tok_cfg.knn, n_out)
-        tok_cfg = cfgs.replace(tok_cfg, vit=vit)
+        # ONE atomic replace: vit + clamped knobs together — replacing the
+        # vit alone trips TokenizerConfig.__post_init__ (k_max > merged N)
+        # before the clamps land (r4 qd_eval_merge3 rc=1)
+        overrides["vit"] = vit
     if overrides:
         tok_cfg = cfgs.replace(tok_cfg, **overrides)
     if args.detok_patch is not None:
