@@ -20,8 +20,9 @@ EOF
 timeout 120 python -c "import jax; print(jax.devices())" || exit 1
 
 # 1. token-merge A/B, now APPENDING history entries (first run printed to
-#    the queue log only)
-timeout 1750 python perf/ab_merge.py; sentinel ab_merge_v2 $?
+#    the queue log only) — 6 configs now (detok-patch + combo points);
+#    wave-1 took ~26 min for 4, so 1750s would clip the tail
+timeout 3000 python perf/ab_merge.py; sentinel ab_merge_v2 $?
 
 # 2. meshed bench dp=1 with the in-process unmeshed control (first run
 #    read 995 vs the 1568 headline — separate graph cost from tunnel
