@@ -18,6 +18,7 @@ trace is the number (perf/trace_ab.py).
 
 import argparse
 import json
+import os
 import shutil
 import subprocess
 import sys
@@ -111,12 +112,18 @@ def main():
         jax.block_until_ready(jitted(tok0, cache, valid, next_pos))
         chains[name] = (jitted, (tok0, cache, valid, next_pos))
 
+    # one trace PER variant: the hosted tunnel erases jit names from the
+    # trace (`jit__unknown(...)`), so per-name attribution in a shared
+    # trace is impossible there — a single-variant window lets the helper
+    # fall back to total jit_* module time (trace_ab.py)
     trace_dir = "/tmp/trace_ab_cache"
     shutil.rmtree(trace_dir, ignore_errors=True)
-    with jax.profiler.trace(trace_dir):
-        for name, (fn, a) in chains.items():
+    per = {}
+    for name, (fn, a) in chains.items():
+        vdir = os.path.join(trace_dir, name)
+        with jax.profiler.trace(vdir):
             jax.block_until_ready(fn(*a))
-    per = _trace_device_ms(trace_dir, list(chains))
+        per[name] = _trace_device_ms(vdir, [name])[name]
     git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
                          cwd="/root/repo").stdout.strip()

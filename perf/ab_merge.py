@@ -94,17 +94,29 @@ def _record(value, merge_layer, base, detok_patch=None):
         f.write(json.dumps(line) + "\n")
 
 
+def _parse_cfg(s):
+    """'ml:dp' with '-' for None — e.g. '0:32', '-:32', '1:-'. """
+    ml, dp = s.split(":")
+    return (None if ml == "-" else int(ml), None if dp == "-" else int(dp))
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="",
+                    help="comma-separated ml:dp pairs ('-' = None) to "
+                         "measure INSTEAD of the default 6-config sweep "
+                         "(baseline is always measured for the ratio)")
+    args = ap.parse_args()
+
     base = measure(cfgs.base_tokenizer(), cfgs.base_detokenizer())
     print(f"baseline (N=256, k_max=80): {base:.1f} img/s", file=sys.stderr)
     _record(base, None, base)
-    for ml in (1, 3, 5):
-        tok, det = merged_cfgs(merge_layer=ml)
-        v = measure(tok, det)
-        print(f"merge_layer={ml} (N=64 after block {ml}, k_max=48): "
-              f"{v:.1f} img/s ({v / base:.2f}x)", file=sys.stderr)
-        _record(v, ml, base)
-    for ml, dp in ((None, 32), (1, 32)):
+    if args.configs:
+        pairs = [_parse_cfg(s) for s in args.configs.split(",")]
+    else:
+        pairs = [(1, None), (3, None), (5, None), (None, 32), (1, 32)]
+    for ml, dp in pairs:
         tok, det = merged_cfgs(merge_layer=ml, detok_patch=dp)
         v = measure(tok, det)
         print(f"merge_layer={ml} detok_patch={dp}: {v:.1f} img/s "

@@ -56,13 +56,15 @@ def slope(fn, params, shape, mk_next):
     return (t_big - t_small) / (ITERS_BIG - ITERS_SMALL) / BATCH * 1e3
 
 
-def measure(merge_layer):
+def measure(merge_layer, detok_patch=None):
     tok_cfg = cfgs.base_tokenizer()
     if merge_layer is not None:
         vit = dataclasses.replace(tok_cfg.vit, merge_layer=merge_layer)
         tok_cfg = dataclasses.replace(tok_cfg, vit=vit, k_max=48, knn=32,
                                       min_cluster_num=48)
     det_cfg = cfgs.base_detokenizer()
+    if detok_patch is not None:
+        det_cfg = dataclasses.replace(det_cfg, patch_size=detok_patch)
     model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16,
                   param_dtype=jnp.float32, quant8=True)
     rng = jax.random.PRNGKey(0)
@@ -91,10 +93,21 @@ def main():
     git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
                          cwd="/root/repo").stdout.strip()
-    for ml in (None, 1):
-        ms_full, ms_tok = measure(ml)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="-:-,1:-",
+                    help="comma-separated ml:dp pairs ('-' = None)")
+    args = ap.parse_args()
+    pairs = []
+    for s in args.configs.split(","):
+        ml, dp = s.split(":")
+        pairs.append((None if ml == "-" else int(ml),
+                      None if dp == "-" else int(dp)))
+    for ml, dp in pairs:
+        ms_full, ms_tok = measure(ml, dp)
         line = {"metric": "merge_component_split_ms_per_img",
-                "merge_layer": ml, "full": round(ms_full, 4),
+                "merge_layer": ml, "detok_patch": dp,
+                "full": round(ms_full, 4),
                 "tokenize": round(ms_tok, 4),
                 "detokenize_residual": round(ms_full - ms_tok, 4),
                 "batch": BATCH, "git": git, "time": time.time()}

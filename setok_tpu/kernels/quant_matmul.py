@@ -89,9 +89,15 @@ def quant_dense(x: jnp.ndarray, qw: QuantizedWeight,
 
 
 def matmul_reference(x, qw: QuantizedWeight):
-    """Dequantized reference (same weight error, exact activation math)."""
+    """Dequantized reference (same weight error, exact activation math).
+
+    Precision.HIGHEST: on TPU the default f32 matmul runs bf16 MXU passes
+    (~1e-2 rel error) — the int32-accumulating kernel is *more* exact than
+    that, so the oracle must use full f32 or the on-chip parity test fails
+    on oracle error (tests_tpu wave-2, rc=1)."""
     w = qw.values.astype(jnp.float32) * qw.scales
-    return x.astype(jnp.float32) @ w
+    return jnp.matmul(x.astype(jnp.float32), w,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------- int4
@@ -263,4 +269,7 @@ def matmul4_reference(x, qw: Quant4Weight):
     else:
         rows = q.shape[0] // g
         w = (q.reshape(g, rows, -1) * qw.scales[:, None, :]).reshape(q.shape)
-    return x.astype(jnp.float32) @ w
+    # HIGHEST: see matmul_reference — the TPU default (bf16 passes) is less
+    # exact than the kernel's int32 accumulation.
+    return jnp.matmul(x.astype(jnp.float32), w,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -65,6 +65,22 @@ class SetokTokenizer(nn.Module):
                           nn.Dense(cfg.hidden_dim, dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="feat_proj"))
+        # Merge variant only: a trainable LayerNorm on the ViT output.
+        # The post-merge blocks are trainable while every consumer of the
+        # features is scale-invariant (normalized contrastive, LN-fronted
+        # detokenizer) — so feature norms drift unopposed under Adam, and
+        # the DPC-KNN score (dist·exp(-d²)) is exponentially scale-
+        # sensitive: the r4 merge_layer=1 quality run drifted to |feat|≈2e3,
+        # saturating clustering at K=N and collapsing the reconstruction to
+        # a constant (SSIM 0.008 vs 0.18). The LN pins the clustering and
+        # token interface to unit scale; resid-stream drift inside the
+        # trainable blocks becomes harmless. The parity path (no merge) is
+        # untouched — the reference's threshold is calibrated on raw
+        # frozen-backbone features.
+        self.merge_out_norm = (nn.LayerNorm(dtype=self.dtype,
+                                            param_dtype=self.param_dtype,
+                                            name="merge_out_norm")
+                               if cfg.vit.merge_layer is not None else None)
         self.inner_encoder = Block(num_heads=cfg.nheads,
                                    mlp_hidden_dim=cfg.dim_feedforward,
                                    depth=cfg.inner_cluster_layers,
@@ -95,6 +111,8 @@ class SetokTokenizer(nn.Module):
             # features internally, leaving merge_proj + post-merge blocks
             # trainable — do not re-freeze the output here.
             feats = jax.lax.stop_gradient(feats)
+        if self.merge_out_norm is not None:
+            feats = self.merge_out_norm(feats)
         if self.feat_proj is not None:
             feats = self.feat_proj(feats)
         n = feats.shape[-2]

@@ -182,3 +182,46 @@ def test_setok_merge_plus_detok_patch_end_to_end():
     state = trainer.create_state(jax.random.PRNGKey(0), batch)
     state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_merge_out_norm_pins_feature_scale():
+    """Regression (r4 quality run): with trainable post-merge blocks every
+    feature consumer is scale-invariant, so norms drift unopposed — the
+    merge_layer=1 chip run drifted to |feat|~2e3, saturated DPC-KNN at
+    K=N (score is exp-scale-sensitive) and collapsed reconstruction to a
+    constant. The merge_out_norm LayerNorm must pin the clustering/token
+    interface to unit RMS regardless of resid-stream scale."""
+    tc = _merged_cfg()
+    m = SetokTokenizer(tc)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                              (2, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)
+    assert "merge_out_norm" in params["params"]
+
+    # simulate runaway resid drift: scale the merge projection 100x
+    import jax.tree_util as jtu
+    def scale_merge(path, x):
+        keys = [getattr(p, "key", "") for p in path]
+        return x * 100.0 if "merge_proj" in keys and "kernel" in keys else x
+    drifted = jtu.tree_map_with_path(scale_merge, params)
+
+    feats = m.apply(drifted, imgs, method=m.encode_features)
+    rms = float(jnp.sqrt(jnp.mean(jnp.square(feats))))
+    base = m.apply(params, imgs, method=m.encode_features)
+    rms0 = float(jnp.sqrt(jnp.mean(jnp.square(base))))
+    # LN-anchored: 100x weight drift must not move the interface scale
+    assert rms < 4.0 * rms0, (rms, rms0)
+
+    out = m.apply(drifted, imgs)
+    assert int(out.num_clusters.max()) <= tc.k_max
+
+
+def test_unmerged_tokenizer_has_no_merge_norm():
+    """Parity guard: the reference path (merge_layer=None) must not grow
+    a normalization layer — its threshold is calibrated on raw frozen
+    features (tokenizer.py cluster_dpc_knn, threshold=0.53)."""
+    tc = cfgs.tiny_tokenizer()
+    m = SetokTokenizer(tc)
+    imgs = jnp.zeros((1, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)
+    assert "merge_out_norm" not in params["params"]
