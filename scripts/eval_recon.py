@@ -69,14 +69,22 @@ def main():
     from setok_tpu.models.setok import SeTok
     from setok_tpu.utils.metrics import compute_fid, psnr, ssim
 
-    tok_cfg = cfgs.tiny_tokenizer() if args.tiny else cfgs.base_tokenizer()
-    det_cfg = (cfgs.tiny_detokenizer() if args.tiny
-               else cfgs.base_detokenizer())
-    if args.image_size:
-        tok_cfg = cfgs.replace(
-            tok_cfg, vit=cfgs.replace(tok_cfg.vit,
-                                      image_size=args.image_size))
-        det_cfg = cfgs.replace(det_cfg, image_size=args.image_size)
+    if args.tiny:
+        # mirror scripts/train_setok.py's tiny branch EXACTLY (patch size
+        # scales with image size there) — a default-patch tiny config here
+        # cannot load a train-CLI tiny checkpoint at --image-size != 32
+        size = args.image_size or 32
+        patch = max(size // 4, 8) if args.image_size else 8
+        tok_cfg = cfgs.tiny_tokenizer(size, patch)
+        det_cfg = cfgs.tiny_detokenizer(size, patch)
+    else:
+        tok_cfg = cfgs.base_tokenizer()
+        det_cfg = cfgs.base_detokenizer()
+        if args.image_size:
+            tok_cfg = cfgs.replace(
+                tok_cfg, vit=cfgs.replace(tok_cfg.vit,
+                                          image_size=args.image_size))
+            det_cfg = cfgs.replace(det_cfg, image_size=args.image_size)
     overrides = {k: v for k, v in
                  (("min_cluster_num", args.min_cluster_num),
                   ("threshold", args.threshold),

@@ -110,6 +110,19 @@ def main():
                                       max(args.image_size // 4, 8))
         det_cfg = cfgs.tiny_detokenizer(args.image_size,
                                         max(args.image_size // 4, 8))
+        if args.merge_layer is not None:
+            # same clamp discipline as the base branch — silently ignoring
+            # --merge-layer under --tiny would train an unmerged model that
+            # the merged eval config then can't load
+            vit_cfg = cfgs.replace(tok_cfg.vit, merge_layer=args.merge_layer)
+            n_out = vit_cfg.num_output_patches
+            k_max = min(tok_cfg.k_max, n_out)
+            tok_cfg = cfgs.replace(
+                tok_cfg, vit=vit_cfg, k_max=k_max,
+                min_cluster_num=min(tok_cfg.min_cluster_num, k_max),
+                knn=min(tok_cfg.knn, n_out))
+        if args.threshold is not None:
+            tok_cfg = cfgs.replace(tok_cfg, threshold=args.threshold)
     else:
         vit_cfg = cfgs.replace(cfgs.ViTConfig(), image_size=args.image_size,
                                merge_layer=args.merge_layer)
