@@ -49,6 +49,16 @@ class ViTConfig:
     # runs at N/4 sequence length. None = off (parity default). See PERF.md
     # "token-merge" for the measured speed/quality trade.
     merge_layer: Optional[int] = None
+    # Initialize merge_proj to the exact 2x2 average-pool operator
+    # (0.25·[I;I;I;I]) instead of random. A random-init merge projection
+    # scrambles the (frozen) pre-merge features, so the whole post-merge
+    # path must train from scratch — a moving target the detokenizer
+    # chases (r4 quality A/B: merged SSIM 0.06 on its own train set vs
+    # 0.16 for the frozen baseline). Pool-init makes the merged path
+    # meaningful at init, so the backbone can stay FULLY frozen under
+    # freeze_backbone (baseline-identical training dynamics); with
+    # freeze_backbone=False it is simply a good init to refine.
+    merge_pool_init: bool = True
 
     def __post_init__(self):
         if self.merge_layer is not None:

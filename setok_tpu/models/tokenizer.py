@@ -48,15 +48,21 @@ class SetokTokenizer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        # With merge_layer, "frozen backbone" freezes only the pre-merge
-        # blocks — merge_proj is random-init and must train, so the ViT
-        # stop-gradients internally and encode_features skips its outer
-        # stop_gradient (ADVICE r3: merge_proj frozen at random init would
-        # scramble merged features).
+        # With merge_layer and a RANDOM-init merge projection, "frozen
+        # backbone" freezes only the pre-merge blocks — merge_proj must
+        # train (ADVICE r3: frozen at random init it scrambles merged
+        # features), so the ViT stop-gradients internally and
+        # encode_features skips its outer stop_gradient. With the default
+        # merge_pool_init the projection IS meaningful at init (exact 2x2
+        # average-pool), so the whole ViT stays frozen like the unmerged
+        # path — the r4 quality A/B showed the trainable post-merge tail
+        # is a moving target the detokenizer cannot chase.
+        self._split_freeze = (self.freeze_backbone
+                              and self.cfg.vit.merge_layer is not None
+                              and not self.cfg.vit.merge_pool_init)
         self.image_feature_encoder = ViT(
             cfg.vit, quant8=self.quant8,
-            freeze_pre_merge=(self.freeze_backbone
-                              and cfg.vit.merge_layer is not None),
+            freeze_pre_merge=self._split_freeze,
             dtype=self.dtype, param_dtype=self.param_dtype)
         # The reference assumes vit width == hidden_dim (it adds the pos-emb
         # and feeds encoders in place, tokenizer.py:164-180, which only works
@@ -106,10 +112,12 @@ class SetokTokenizer(nn.Module):
         clip_encoder.py:50-62 @torch.no_grad).
         """
         feats = self.image_feature_encoder(images, deterministic=deterministic)
-        if self.freeze_backbone and self.cfg.vit.merge_layer is None:
-            # merge variant: the ViT already stop-gradients pre-merge
-            # features internally, leaving merge_proj + post-merge blocks
-            # trainable — do not re-freeze the output here.
+        if self.freeze_backbone and not self._split_freeze:
+            # _split_freeze (random-init merge only): the ViT already
+            # stop-gradients pre-merge features internally, leaving
+            # merge_proj + post-merge blocks trainable — do not re-freeze
+            # the output there. Every other frozen config (unmerged, or
+            # pool-init merge) freezes the whole output here.
             feats = jax.lax.stop_gradient(feats)
         if self.merge_out_norm is not None:
             feats = self.merge_out_norm(feats)

@@ -144,7 +144,20 @@ class ViT(nn.Module):
                 x = x.reshape(bb, g // 2, 2, g // 2, 2, cc)
                 x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
                     bb, (g // 2) * (g // 2), 4 * cc)
-                x = nn.Dense(cfg.width, dtype=self.dtype,
+                if cfg.merge_pool_init:
+                    # exact 2x2 average-pool at init (see ViTConfig):
+                    # the folded last axis is [p00|p01|p10|p11] blocks of
+                    # cc, so 0.25·[I;I;I;I] averages the four neighbors
+                    def _pool_init(key, shape, dtype):
+                        del key
+                        c_out = shape[1]
+                        eye = jnp.eye(c_out, dtype=dtype)
+                        return 0.25 * jnp.concatenate([eye] * 4, axis=0)
+                    kernel_init = _pool_init
+                else:
+                    kernel_init = nn.linear.default_kernel_init
+                x = nn.Dense(cfg.width, kernel_init=kernel_init,
+                             dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              name="merge_proj")(x)
             taps.append(x)

@@ -93,10 +93,14 @@ def test_merge_config_validation():
 
 def test_merge_proj_trains_under_frozen_backbone():
     """ADVICE r3 high #2: with freeze_backbone=True (the stage-1 default)
-    merge_proj and the post-merge blocks must still receive gradients —
-    merge_proj is random-init, so freezing it scrambles merged features.
-    Pre-merge blocks stay frozen."""
+    and a RANDOM-init merge projection (merge_pool_init=False), merge_proj
+    and the post-merge blocks must still receive gradients — random-init
+    merge_proj frozen scrambles merged features. Pre-merge blocks stay
+    frozen. (With the default merge_pool_init the whole backbone freezes
+    instead — test_pool_init_merge_fully_frozen.)"""
     tc = _merged_cfg()     # merge_layer=0 of depth 2: block_0 pre, block_1 post
+    tc = dataclasses.replace(
+        tc, vit=dataclasses.replace(tc.vit, merge_pool_init=False))
     m = SetokTokenizer(tc, freeze_backbone=True)
     imgs = jax.random.uniform(jax.random.PRNGKey(1),
                               (2, tc.vit.image_size, tc.vit.image_size, 3))
@@ -225,3 +229,43 @@ def test_unmerged_tokenizer_has_no_merge_norm():
     imgs = jnp.zeros((1, tc.vit.image_size, tc.vit.image_size, 3))
     params = m.init(jax.random.PRNGKey(0), imgs)
     assert "merge_out_norm" not in params["params"]
+
+
+def test_pool_init_merge_is_exact_average_at_init():
+    """merge_pool_init (default): merge_proj starts as the exact 2x2
+    average-pool operator — kernel 0.25·[I;I;I;I], zero bias — so the
+    merged path is meaningful at init and the frozen-backbone recipe has
+    baseline-identical training dynamics (r4 quality A/B: a trainable
+    random post-merge tail is a moving target the detokenizer can't
+    chase)."""
+    import numpy as np
+    tc = _merged_cfg()
+    m = ViT(tc.vit)
+    imgs = jnp.zeros((1, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)["params"]
+    k = np.asarray(params["merge_proj"]["kernel"])
+    c = k.shape[1]
+    want = 0.25 * np.concatenate([np.eye(c)] * 4, axis=0)
+    np.testing.assert_allclose(k, want)
+    np.testing.assert_allclose(np.asarray(params["merge_proj"]["bias"]), 0)
+
+
+def test_pool_init_merge_fully_frozen():
+    """With the default merge_pool_init, freeze_backbone freezes the WHOLE
+    ViT (merge_proj included) — only the tokenizer encoders/out and
+    merge_out_norm train, exactly like the unmerged path."""
+    tc = _merged_cfg()
+    m = SetokTokenizer(tc, freeze_backbone=True)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                              (2, tc.vit.image_size, tc.vit.image_size, 3))
+    params = m.init(jax.random.PRNGKey(0), imgs)
+
+    def loss(p):
+        return jnp.sum(m.apply(p, imgs).tokens ** 2)
+
+    g = jax.grad(loss)(params)["params"]
+    enc = g["image_feature_encoder"]
+    assert all(float(jnp.sum(x ** 2)) == 0.0 for x in jax.tree.leaves(enc))
+    # the norm + tokenizer encoders still train
+    l2 = lambda t: sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(t))
+    assert l2(g["merge_out_norm"]) > 0.0
