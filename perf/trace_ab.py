@@ -87,7 +87,14 @@ def _trace_device_ms(trace_dir: str, names, pid_hint: int = 3,
         jit_total = sum(e.get("dur", 0.0) for e in events
                         if e.get("ph") == "X" and e.get("pid") in device_pids
                         and str(e.get("name", "")).startswith("jit_"))
-        if len(names) == 1 and jit_total > 0.0:
+        # fire ONLY when the platform demonstrably erased the names — a
+        # zero-match on a name-preserving platform means the caller's name
+        # is wrong (rename/typo) and must surface as 0 + diagnostics, not
+        # be papered over with the window total
+        erased = any(str(e.get("name", "")).startswith("jit__unknown")
+                     for e in events
+                     if e.get("ph") == "X" and e.get("pid") in device_pids)
+        if len(names) == 1 and jit_total > 0.0 and erased:
             print(f"trace_ab: no events matched {prefix}+{list(names)}; "
                   f"falling back to total jit_* module time "
                   f"({jit_total / 1000.0:.3f} ms) — name-erasing platform",

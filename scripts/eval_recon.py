@@ -70,11 +70,13 @@ def main():
     from setok_tpu.utils.metrics import compute_fid, psnr, ssim
 
     if args.tiny:
-        # mirror scripts/train_setok.py's tiny branch EXACTLY (patch size
-        # scales with image size there) — a default-patch tiny config here
-        # cannot load a train-CLI tiny checkpoint at --image-size != 32
-        size = args.image_size or 32
-        patch = max(size // 4, 8) if args.image_size else 8
+        # mirror scripts/train_setok.py's tiny branch EXACTLY, including
+        # its --image-size DEFAULT (256): train builds
+        # tiny_tokenizer(image_size, max(image_size // 4, 8)), so a
+        # different default or patch rule here cannot load a train-CLI
+        # tiny checkpoint (orbax shape mismatch on patch_embed)
+        size = args.image_size or 256
+        patch = max(size // 4, 8)
         tok_cfg = cfgs.tiny_tokenizer(size, patch)
         det_cfg = cfgs.tiny_detokenizer(size, patch)
     else:

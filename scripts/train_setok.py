@@ -45,7 +45,9 @@ def parse_args():
                         "gradient_accumulation_steps equivalent)")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--min-cluster-num", type=int, default=64)
-    p.add_argument("--threshold", type=float, default=0.55)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="cluster threshold; default = the config's own "
+                        "(0.55 for base and tiny)")
     p.add_argument("--k-max", type=int, default=80)
     p.add_argument("--detok-patch", type=int, default=None,
                    help="detokenizer patch size (default 16). 32 quarters "
@@ -121,7 +123,7 @@ def main():
                 tok_cfg, vit=vit_cfg, k_max=k_max,
                 min_cluster_num=min(tok_cfg.min_cluster_num, k_max),
                 knn=min(tok_cfg.knn, n_out))
-        if args.threshold is not None:
+        if args.threshold is not None:   # None = keep the config default
             tok_cfg = cfgs.replace(tok_cfg, threshold=args.threshold)
     else:
         vit_cfg = cfgs.replace(cfgs.ViTConfig(), image_size=args.image_size,
@@ -143,7 +145,9 @@ def main():
                 args.min_cluster_num, min_cluster, base.knn, knn)
         tok_cfg = cfgs.replace(
             base, vit=vit_cfg, min_cluster_num=min_cluster,
-            threshold=args.threshold, k_max=k_max, knn=knn)
+            threshold=(args.threshold if args.threshold is not None
+                       else base.threshold),
+            k_max=k_max, knn=knn)
         det_cfg = cfgs.replace(cfgs.base_detokenizer(),
                                image_size=args.image_size)
     if args.detok_patch is not None:

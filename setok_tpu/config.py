@@ -75,6 +75,16 @@ class ViTConfig:
             if self.use_class_token:
                 raise ValueError("merge_layer requires use_class_token=False "
                                  "(no grid slot for the cls token)")
+            tap = (self.select_layer if self.select_layer >= 0
+                   else self.depth + self.select_layer)
+            if tap < self.merge_layer:
+                raise ValueError(
+                    f"select_layer ({self.select_layer} → block {tap}) taps "
+                    f"a PRE-merge block while merge_layer={self.merge_layer}"
+                    " — the merge and every post-merge block would be dead "
+                    "compute, and num_output_patches would misreport the "
+                    "tapped patch count; move the merge before the tap or "
+                    "drop it")
 
     @property
     def grid(self) -> int:
@@ -86,7 +96,10 @@ class ViTConfig:
 
     @property
     def num_output_patches(self) -> int:
-        """Patch count the ViT emits: num_patches, /4 after a 2x2 merge."""
+        """Patch count the ViT emits: num_patches, /4 after a 2x2 merge.
+
+        __post_init__ rejects select_layer tapping a pre-merge block, so a
+        set merge_layer always means the tapped features are merged."""
         n = self.num_patches
         return n // 4 if self.merge_layer is not None else n
 
