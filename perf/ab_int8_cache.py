@@ -122,7 +122,12 @@ def main():
     for name, (fn, a) in chains.items():
         vdir = os.path.join(trace_dir, name)
         with jax.profiler.trace(vdir):
-            jax.block_until_ready(fn(*a))
+            out = fn(*a)
+            # host readback, not block_until_ready: on the hosted tunnel
+            # block_until_ready returns at dispatch-enqueue (train_bench.py
+            # measured 138% MFU from exactly this), which would close the
+            # trace window before the device finishes
+            int(jax.device_get(out[0][0, 0]))
         per[name] = _trace_device_ms(vdir, [name])[name]
     git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,

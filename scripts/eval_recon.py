@@ -204,6 +204,11 @@ def main():
                 "merge_layer": args.merge_layer,
                 "detok_patch": args.detok_patch,
                 "threshold": args.threshold, "eval_seed": args.eval_seed,
+                # resolved (post-clamp) clustering knobs: regime-defining
+                # under the fixed-K recipe (threshold=1e9 + min_cluster_num)
+                # — without them a history row is not reproducible
+                "min_cluster_num": tok_cfg.min_cluster_num,
+                "k_max": tok_cfg.k_max,
                 "git": git, "time": time.time()}
         hist = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "perf", "history.jsonl")

@@ -1,13 +1,15 @@
 """Conversation templates (LLaVA lineage).
 
 Parity: /root/reference/src/conversation.py — `Conversation` with the five
-separator styles (get_prompt, lines 32-107) and the full 14-entry template
+separator styles (get_prompt, lines 32-107) and the full 16-entry template
 registry (373-391): vicuna v0/v1, llama_2, llava_{v0,v1,llama_2}, mpt,
-plain/v0_plain, mistral_instruct, chatml/mistral_direct, default aliases.
-The reference's launch scripts only select `plain` and `v1` but the
-registry carries every name a checkpoint's `conv_mode` could ask for. The
-base64-image serving helpers of the reference are serving-side dead weight
-and intentionally omitted.
+plain/v0_plain, v0/v1_mmtag, mistral_instruct, chatml/mistral_direct,
+default aliases. The reference's launch scripts only select `plain` and
+`v1` but the registry carries every name a checkpoint's `conv_mode` could
+ask for. Intentionally omitted: the base64-image serving helpers and
+get_prompt's tuple-image first-message branch (conversation.py:34-43) —
+both exist only for the reference's Gradio serving path; the training
+preprocessors never attach image tuples to messages.
 """
 
 from __future__ import annotations
@@ -153,6 +155,27 @@ conv_llava_llama_2 = Conversation(
     sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>",
     version="llama_v2")
 
+conv_llava_v0_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant is able to understand the visual "
+           "content that the user provides, and assist the user with a "
+           "variety of tasks using natural language."
+           "The visual content will be provided with the following format: "
+           "<Image>visual content</Image>.",
+    roles=("Human", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.SINGLE, sep="###", version="v0_mmtag")
+
+conv_llava_v1_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant is able to understand the visual "
+           "content that the user provides, and assist the user with a "
+           "variety of tasks using natural language."
+           "The visual content will be provided with the following format: "
+           "<Image>visual content</Image>.",
+    roles=("USER", "ASSISTANT"), messages=[], offset=0,
+    sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>",
+    version="v1_mmtag")
+
 conv_mistral_instruct = Conversation(
     system="", roles=("USER", "ASSISTANT"), messages=[], offset=0,
     sep_style=SeparatorStyle.LLAMA_2, sep="", sep2="</s>",
@@ -177,7 +200,9 @@ conv_templates = {
     "plain": conv_llava_plain,
     "v0_plain": conv_llava_plain,
     "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
     "llava_v1": conv_llava_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
     "llava_llama_2": conv_llava_llama_2,
     "mpt": conv_mpt,
 }
