@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=24)
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--max-grad-norm", type=float, default=1.0,
+                   help="global-norm gradient clip (HF Trainer default "
+                        "1.0, which the reference inherits); 0 disables")
     p.add_argument("--warmup-steps", type=int, default=100)
     p.add_argument("--grad-accum-steps", type=int, default=1,
                    help="micro-batches per optimizer update (HF "
@@ -157,6 +160,7 @@ def main():
         det_cfg = cfgs.replace(det_cfg, patch_size=args.detok_patch)
 
     train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
+                                 max_grad_norm=args.max_grad_norm,
                                  warmup_steps=args.warmup_steps,
                                  total_steps=args.steps,
                                  batch_size=args.batch_size, seed=args.seed,

@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--max-grad-norm", type=float, default=1.0,
+                   help="global-norm gradient clip (HF Trainer default "
+                        "1.0, which the reference inherits); 0 disables")
     p.add_argument("--warmup-steps", type=int, default=100)
     p.add_argument("--model-max-length", type=int, default=2048)
     p.add_argument("--grad-accum-steps", type=int, default=1,
@@ -154,6 +157,7 @@ def main():
             DEFAULT_TARGET_TOKEN)
 
     train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
+                                 max_grad_norm=args.max_grad_norm,
                                  warmup_steps=args.warmup_steps,
                                  total_steps=args.steps,
                                  batch_size=args.batch_size, seed=args.seed,

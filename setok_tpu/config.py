@@ -286,6 +286,11 @@ class TrainConfig:
     learning_rate: float = 1e-3
     disc_learning_rate: float = 1e-3
     weight_decay: float = 0.0
+    # Global-norm gradient clip. The reference never sets max_grad_norm, so
+    # HF Trainer's default 1.0 applies to every reference training run
+    # (transformers TrainingArguments.max_grad_norm; Trainer clips the
+    # accumulated gradient once per optimizer update). 0 disables.
+    max_grad_norm: float = 1.0
     beta1: float = 0.9
     beta2: float = 0.999
     warmup_steps: int = 100

@@ -103,6 +103,18 @@ class Stage1Trainer:
                                        weight_decay=tc.weight_decay)
         self.disc_opt = optax.adam(tc.disc_learning_rate, b1=tc.beta1,
                                    b2=tc.beta2)
+        if tc.max_grad_norm > 0:
+            # Parity: HF Trainer clips the global grad norm to
+            # max_grad_norm (default 1.0) every update; the reference
+            # relies on that default. Without it one loss spike (this is a
+            # GAN-adjacent objective with an unclipped contrastive term)
+            # can throw the decoder into a predict-the-mean basin Adam
+            # never escapes — the r4 combo/merge3 quality retrains
+            # collapsed exactly that way (PERF.md quality program).
+            self.gen_opt = optax.chain(
+                optax.clip_by_global_norm(tc.max_grad_norm), self.gen_opt)
+            self.disc_opt = optax.chain(
+                optax.clip_by_global_norm(tc.max_grad_norm), self.disc_opt)
         if tc.grad_accum_steps > 1:
             # HF gradient_accumulation_steps equivalent. Both optimizers
             # accumulate in lockstep, so the gen/disc alternation phase is
@@ -252,6 +264,9 @@ class Stage1Trainer:
 
         (gen_loss, (metrics, recon)), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params)
+        # pre-clip global grad norm — the observability HF's Trainer gets
+        # from clip_grad_norm_'s return value (logged as grad_norm)
+        metrics["grad_norm"] = optax.global_norm(gen_grads)
         gen_opt_in = state.gen_opt_state
         if self.offload_optimizer:
             from setok_tpu.parallel.sharding import (fetch_to_device,

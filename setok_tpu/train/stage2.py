@@ -109,6 +109,18 @@ class Stage2Trainer:
              "lora": opt(sched),
              "frozen": optax.set_to_zero()},
             self._labels)
+        if tc.max_grad_norm > 0:
+            # Parity: HF Trainer's default max_grad_norm=1.0 clip. Frozen
+            # leaves are excluded from the norm (HF never sees grads for
+            # requires_grad=False params; here they exist until
+            # set_to_zero drops them, so the mask keeps the norms equal).
+            def _not_frozen(tree):
+                return jax.tree.map(lambda l: l != "frozen",
+                                    self._labels(tree))
+            self._tx = optax.chain(
+                optax.masked(optax.clip_by_global_norm(tc.max_grad_norm),
+                             _not_frozen),
+                self._tx)
         if tc.grad_accum_steps > 1:
             # HF gradient_accumulation_steps equivalent: k micro-batches
             # accumulate (mean) before one optimizer update; the schedule

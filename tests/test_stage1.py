@@ -156,3 +156,28 @@ def test_gradient_accumulation_matches_single_step():
     got = jax.tree.map(np.asarray, (s2.gen_params, s2.disc_params))
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, rtol=2e-5, atol=2e-6), want, got)
+
+
+def test_max_grad_norm_clips_update():
+    """Parity: HF Trainer clips grad global-norm to max_grad_norm (default
+    1.0); the reference never overrides it. With an absurdly small clip the
+    Adam update is ~m/eps-scaled toward zero, so params must barely move;
+    with clipping disabled the same batch moves them measurably."""
+    batch = make_batch()
+
+    def step_delta(max_grad_norm):
+        tr = Stage1Trainer(
+            cfgs.tiny_tokenizer(), cfgs.tiny_detokenizer(),
+            gan_cfg=cfgs.GANLossConfig(disc_start=0, warm_up_end=0),
+            contrastive_cfg=cfgs.ContrastiveLossConfig(text_embed_dim=32),
+            train_cfg=cfgs.TrainConfig(max_grad_norm=max_grad_norm,
+                                       warmup_steps=0, total_steps=10))
+        state = tr.create_state(jax.random.PRNGKey(0), batch)
+        before = jax.tree.map(np.asarray, state.gen_params)  # donated
+        new_state, _ = tr.train_step(state, batch, jax.random.PRNGKey(1))
+        deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                              before, new_state.gen_params)
+        return max(jax.tree.leaves(deltas))
+
+    assert step_delta(1e-30) < 1e-9
+    assert step_delta(0.0) > 1e-5       # 0 disables clipping entirely

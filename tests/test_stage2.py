@@ -269,3 +269,25 @@ def test_gradient_accumulation_matches_single_step():
         np.testing.assert_allclose(
             a, b, rtol=2e-5, atol=2e-6,
             err_msg=jax.tree_util.keystr(p[0]))
+
+
+def test_max_grad_norm_clips_update_stage2():
+    """HF Trainer max_grad_norm parity on the stage-2 chain: a ~zero clip
+    freezes the trainable tree in place; frozen leaves are excluded from
+    the norm (they get grads here until set_to_zero, unlike HF)."""
+    batch = make_batch(seed=1)
+
+    def step_delta(max_grad_norm):
+        tr = Stage2Trainer(
+            cfgs.tiny_setokim(), target_token_id=TGT,
+            train_cfg=cfgs.TrainConfig(warmup_steps=0, remat=False,
+                                       max_grad_norm=max_grad_norm))
+        state = tr.create_state(jax.random.PRNGKey(0), batch)
+        before = jax.tree.map(np.asarray, state.params)
+        state, _ = tr.train_step(state, batch, jax.random.PRNGKey(1))
+        deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                              before, state.params)
+        return max(jax.tree.leaves(deltas))
+
+    assert step_delta(1e-30) < 1e-9
+    assert step_delta(0.0) > 1e-5
