@@ -49,6 +49,13 @@ def main():
     p.add_argument("--detok-patch", type=int, default=None,
                    help="detokenizer patch size — MUST match the trained "
                         "run's (see train_setok.py --detok-patch)")
+    p.add_argument("--cluster-dist-norm", action="store_true",
+                   help="scale-invariant DPC-KNN (ops/clustering.py "
+                        "dist_norm): --threshold then reads in units of the "
+                        "mean pairwise distance. Eval-time swap is "
+                        "legitimate — clustering is under stop_gradient, "
+                        "not a trained path (adaptive-K experiment, "
+                        "PERF.md)")
     p.add_argument("--eval-seed", type=int, default=10_000,
                    help="seed offset for the synthetic eval set (held out "
                         "from training's seeds)")
@@ -91,6 +98,8 @@ def main():
                  (("min_cluster_num", args.min_cluster_num),
                   ("threshold", args.threshold),
                   ("k_max", args.k_max)) if v is not None}
+    if args.cluster_dist_norm:
+        overrides["cluster_dist_norm"] = True
     if args.merge_layer is not None:
         vit = cfgs.replace(tok_cfg.vit, merge_layer=args.merge_layer)
         n_out = vit.num_output_patches
@@ -204,6 +213,7 @@ def main():
                 "merge_layer": args.merge_layer,
                 "detok_patch": args.detok_patch,
                 "threshold": args.threshold, "eval_seed": args.eval_seed,
+                "cluster_dist_norm": args.cluster_dist_norm,
                 # resolved (post-clamp) clustering knobs: regime-defining
                 # under the fixed-K recipe (threshold=1e9 + min_cluster_num)
                 # — without them a history row is not reproducible

@@ -134,6 +134,14 @@ class TokenizerConfig:
     # passes instead of the materialized N×N cdist. Unmasked inputs only —
     # token_mask falls back to the XLA path.
     use_pallas_cluster: bool = True
+    # Scale-invariant DPC-KNN (ops/clustering.py dist_norm; NOT in the
+    # reference, default off = exact parity): distances are normalized by
+    # their mean before density/score, so `threshold` reads in units of the
+    # mean pairwise distance and adaptive-K survives feature-scale changes
+    # (the merge variant's LN'd features sit at a different scale than the
+    # raw frozen-backbone features the reference's threshold is calibrated
+    # on — PERF.md "adaptive-K on merged features").
+    cluster_dist_norm: bool = False
 
     def __post_init__(self):
         # Cluster knobs must fit the patch count the ViT actually emits

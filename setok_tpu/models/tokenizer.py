@@ -141,7 +141,8 @@ class SetokTokenizer(nn.Module):
         def cluster_one(xi, mi):
             return cluster_dpc_knn(xi, k=knn, k_max=cfg.k_max,
                                    min_cluster_num=cfg.min_cluster_num,
-                                   threshold=thr, token_mask=mi)
+                                   threshold=thr, token_mask=mi,
+                                   dist_norm=cfg.cluster_dist_norm)
 
         # no_grad in the reference (tokenizer.py:79): assignments are data,
         # not a differentiable path
@@ -149,6 +150,7 @@ class SetokTokenizer(nn.Module):
         from setok_tpu.kernels.cluster_pallas import (cluster_dpc_knn_pallas,
                                                       cluster_fits_vmem)
         use_pallas = (cfg.use_pallas_cluster and token_mask is None
+                      and not cfg.cluster_dist_norm
                       and jax.devices()[0].platform == "tpu"
                       and cluster_fits_vmem(xs.shape[-2], xs.shape[-1]))
         if use_pallas:

@@ -74,7 +74,8 @@ def pairwise_dist(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(d2) / jnp.sqrt(jnp.asarray(c, d2.dtype))
 
 
-@partial(jax.jit, static_argnames=("k", "k_max", "min_cluster_num"))
+@partial(jax.jit, static_argnames=("k", "k_max", "min_cluster_num",
+                                   "dist_norm"))
 def cluster_dpc_knn(
     x: jnp.ndarray,
     k: int,
@@ -83,6 +84,7 @@ def cluster_dpc_knn(
     threshold: float,
     token_mask: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    dist_norm: bool = False,
 ) -> ClusterResult:
     """Cluster N tokens (one image) into at most `k_max` groups.
 
@@ -95,12 +97,30 @@ def cluster_dpc_knn(
       token_mask: optional (N,) bool/0-1 validity mask.
       rng: optional PRNG key for the reference's stochastic density
         tie-break; deterministic index perturbation when None.
+      dist_norm: scale-invariant variant (NOT in the reference; default off =
+        exact parity): divide the distance matrix by its mean over valid
+        off-diagonal pairs before density/parent/score, so `threshold` reads
+        in units of the mean pairwise distance and the result is invariant
+        to any global rescale of `x`. The reference's absolute threshold is
+        calibrated on raw frozen-backbone features (tokenizer.py:88-91);
+        merged/LN'd features live at a different scale where that
+        calibration breaks (PERF.md "adaptive-K on merged features").
     """
     n, _ = x.shape
     assert min_cluster_num <= k_max, "k_max must bound the fallback count"
     k = min(k, n)  # knn neighbourhood cannot exceed the token count
 
     dist = pairwise_dist(x)                                   # (N, N)
+
+    if dist_norm:
+        if token_mask is not None:
+            valid = (token_mask > 0).astype(dist.dtype)
+            pair_w = valid[:, None] * valid[None, :]
+        else:
+            pair_w = jnp.ones_like(dist)
+        pair_w = pair_w * (1.0 - jnp.eye(n, dtype=dist.dtype))  # off-diag
+        mean_d = jnp.sum(dist * pair_w) / jnp.maximum(jnp.sum(pair_w), 1.0)
+        dist = dist / jnp.maximum(mean_d, 1e-12)
 
     if token_mask is not None:
         token_mask = token_mask > 0

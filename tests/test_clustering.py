@@ -156,3 +156,63 @@ def test_vmap_batching():
     res = batched(xs)
     assert res.idx_cluster.shape == (4, 64)
     assert res.center_idx.shape == (4, 16)
+
+
+def test_dist_norm_scale_invariant():
+    """dist_norm=True: any global rescale of x leaves the result identical
+    (assignments, centers, K) — the property the adaptive-K-on-merged-
+    features recipe needs (PERF.md). Default (False) must stay the exact
+    reference semantics, i.e. scale-SENSITIVE."""
+    x = jnp.asarray(make_clustered_data(0))
+    kw = dict(k=8, k_max=16, min_cluster_num=4, threshold=0.4)
+    a = cluster_dpc_knn(x, dist_norm=True, **kw)
+    b = cluster_dpc_knn(x * 100.0, dist_norm=True, **kw)
+    c = cluster_dpc_knn(x * 0.01, dist_norm=True, **kw)
+    for other in (b, c):
+        np.testing.assert_array_equal(np.asarray(a.idx_cluster),
+                                      np.asarray(other.idx_cluster))
+        np.testing.assert_array_equal(np.asarray(a.center_idx),
+                                      np.asarray(other.center_idx))
+        assert int(a.num_clusters) == int(other.num_clusters)
+    # adaptive regime actually engaged (not the fallback) at this threshold
+    assert 4 < int(a.num_clusters) <= 16
+
+    # parity default: same rescale changes the outcome (absolute threshold)
+    p1 = cluster_dpc_knn(x, **kw)
+    p2 = cluster_dpc_knn(x * 100.0, **kw)
+    assert (int(p1.num_clusters) != int(p2.num_clusters)
+            or np.any(np.asarray(p1.idx_cluster)
+                      != np.asarray(p2.idx_cluster)))
+
+
+def test_dist_norm_false_unchanged_by_flag_plumbing():
+    """dist_norm=False is bit-identical to the pre-flag behavior (the
+    parity path must not move)."""
+    x = jnp.asarray(make_clustered_data(1))
+    kw = dict(k=8, k_max=16, min_cluster_num=4, threshold=0.55)
+    a = cluster_dpc_knn(x, **kw)
+    b = cluster_dpc_knn(x, dist_norm=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a.idx_cluster),
+                                  np.asarray(b.idx_cluster))
+    np.testing.assert_array_equal(np.asarray(a.score), np.asarray(b.score))
+
+
+def test_dist_norm_with_token_mask():
+    """Masked tokens are excluded from the mean-distance normalizer: the
+    result on (x, mask) must equal the result on the valid subset alone
+    (up to the index mapping), exactly like the unnormalized path."""
+    x = make_clustered_data(2, n=48)
+    mask = np.ones(48, np.float32)
+    mask[40:] = 0.0
+    res = cluster_dpc_knn(jnp.asarray(x), k=8, k_max=16, min_cluster_num=4,
+                          threshold=0.4, token_mask=jnp.asarray(mask),
+                          dist_norm=True)
+    # invalid tokens must not become centers
+    centers = np.asarray(res.center_idx)
+    assert all(c >= 48 or c < 40 for c in centers.tolist())
+    # scale invariance holds under masking too
+    res2 = cluster_dpc_knn(jnp.asarray(x * 50.0), k=8, k_max=16,
+                           min_cluster_num=4, threshold=0.4,
+                           token_mask=jnp.asarray(mask), dist_norm=True)
+    np.testing.assert_array_equal(np.asarray(res.idx_cluster),
+                                  np.asarray(res2.idx_cluster))
