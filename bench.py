@@ -40,7 +40,8 @@ TARGET = 5000.0
 # table in PERF.md is the proof; perf/history.jsonl `qd_eval_*` rows are
 # the record). None disables the second line (e.g. while a proof is
 # pending). SETOK_BENCH_SKIP_FAST=1 skips it ad hoc.
-FAST_RECIPE = None  # set to {"merge_layer": M, "detok_patch": P} when proven
+FAST_RECIPE = None  # e.g. {"merge": M, "detok_patch": P, "detok_depth": D}
+# (keys are run()'s kwargs) — set when proven
 
 
 def _env_int(name):
@@ -56,7 +57,7 @@ def _env_int(name):
         raise SystemExit(f"{name} must be an integer, got {raw!r}")
 
 
-def run(quant8: bool, merge=None, detok_patch=None):
+def run(quant8: bool, merge=None, detok_patch=None, detok_depth=None):
     if SCALE == "so400m":
         tok_cfg = cfgs.so400m_tokenizer()
         det_cfg = cfgs.so400m_detokenizer()
@@ -94,6 +95,14 @@ def run(quant8: bool, merge=None, detok_patch=None):
                              f"(SETOK_BENCH_SCALE={SCALE})")
         import dataclasses
         det_cfg = dataclasses.replace(det_cfg, patch_size=detok_patch)
+    if detok_depth is None:
+        detok_depth = _env_int("SETOK_BENCH_DETOK_DEPTH")
+    if detok_depth is not None:
+        if SCALE != "base":
+            raise SystemExit("SETOK_BENCH_DETOK_DEPTH is a base-scale knob "
+                             f"(SETOK_BENCH_SCALE={SCALE})")
+        import dataclasses
+        det_cfg = dataclasses.replace(det_cfg, decoder_depth=detok_depth)
     model = SeTok(tok_cfg, det_cfg, dtype=jnp.bfloat16,
                   param_dtype=param_dtype, quant8=quant8)
 
@@ -177,7 +186,8 @@ def main():
     if (FAST_RECIPE is not None and SCALE == "base"
             and os.environ.get("SETOK_BENCH_SKIP_FAST") != "1"
             and not os.environ.get("SETOK_BENCH_MERGE_LAYER")
-            and not os.environ.get("SETOK_BENCH_DETOK_PATCH")):
+            and not os.environ.get("SETOK_BENCH_DETOK_PATCH")
+            and not os.environ.get("SETOK_BENCH_DETOK_DEPTH")):
         try:
             fast_ips = run(quant8, **FAST_RECIPE)
         except Exception as e:                   # noqa: BLE001
@@ -189,7 +199,9 @@ def main():
             "value": round(fast_ips, 2),
             "unit": "images/sec",
             "vs_baseline": round(fast_ips / TARGET, 4),
-            **FAST_RECIPE,
+            # run() kwarg "merge" reads as "merge_layer" in the record
+            **{("merge_layer" if k == "merge" else k): v
+               for k, v in FAST_RECIPE.items()},
         }
         print(json.dumps(fast))
         _record_history(fast)

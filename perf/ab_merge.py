@@ -63,7 +63,8 @@ def measure(tok_cfg, det_cfg, quant8=True):
     return BATCH * (ITERS_BIG - ITERS_SMALL) / (t_big - t_small)
 
 
-def merged_cfgs(merge_layer=3, k_max=48, knn=32, detok_patch=None):
+def merged_cfgs(merge_layer=3, k_max=48, knn=32, detok_patch=None,
+                detok_depth=None):
     tok = cfgs.base_tokenizer()
     if merge_layer is not None:
         vit = dataclasses.replace(tok.vit, merge_layer=merge_layer)
@@ -72,21 +73,25 @@ def merged_cfgs(merge_layer=3, k_max=48, knn=32, detok_patch=None):
     # the detokenizer consumes (B, k_max, D) + validity mask — its own query
     # count is grid², independent of k_max. detok_patch=32 quarters it (the
     # decode-side counterpart of merge_layer; ab_merge_split.py shows the
-    # detokenizer bounds the merge variant's ceiling).
+    # detokenizer bounds the merge variant's ceiling). detok_depth shrinks
+    # the same residual WITHOUT coarsening the query grid — the lever that
+    # stays inside the quality-proven patch-16 decode geometry.
     det = cfgs.base_detokenizer()
     if detok_patch is not None:
         det = dataclasses.replace(det, patch_size=detok_patch)
+    if detok_depth is not None:
+        det = dataclasses.replace(det, decoder_depth=detok_depth)
     return tok, det
 
 
-def _record(value, merge_layer, base, detok_patch=None):
+def _record(value, merge_layer, base, detok_patch=None, detok_depth=None):
     git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          capture_output=True, text=True,
                          cwd="/root/repo").stdout.strip()
     line = {"metric": "setok_tokenizer_throughput_merge_ab",
             "value": round(value, 2), "unit": "images/sec",
             "merge_layer": merge_layer, "detok_patch": detok_patch,
-            "batch": BATCH,
+            "detok_depth": detok_depth, "batch": BATCH,
             "vs_unmerged": round(value / base, 4) if base else 1.0,
             "git": git, "time": time.time()}
     print(json.dumps(line))
@@ -95,9 +100,13 @@ def _record(value, merge_layer, base, detok_patch=None):
 
 
 def _parse_cfg(s):
-    """'ml:dp' with '-' for None — e.g. '0:32', '-:32', '1:-'. """
-    ml, dp = s.split(":")
-    return (None if ml == "-" else int(ml), None if dp == "-" else int(dp))
+    """'ml:dp' or 'ml:dp:dd' with '-' for None — e.g. '0:32', '-:32',
+    '1:-:8' (merge1 + default patch + decoder_depth 8)."""
+    parts = s.split(":")
+    ml, dp = parts[0], parts[1]
+    dd = parts[2] if len(parts) > 2 else "-"
+    return (None if ml == "-" else int(ml), None if dp == "-" else int(dp),
+            None if dd == "-" else int(dd))
 
 
 def main():
@@ -113,15 +122,17 @@ def main():
     print(f"baseline (N=256, k_max=80): {base:.1f} img/s", file=sys.stderr)
     _record(base, None, base)
     if args.configs:
-        pairs = [_parse_cfg(s) for s in args.configs.split(",")]
+        triples = [_parse_cfg(s) for s in args.configs.split(",")]
     else:
-        pairs = [(1, None), (3, None), (5, None), (None, 32), (1, 32)]
-    for ml, dp in pairs:
-        tok, det = merged_cfgs(merge_layer=ml, detok_patch=dp)
+        triples = [(1, None, None), (3, None, None), (5, None, None),
+                   (None, 32, None), (1, 32, None)]
+    for ml, dp, dd in triples:
+        tok, det = merged_cfgs(merge_layer=ml, detok_patch=dp,
+                               detok_depth=dd)
         v = measure(tok, det)
-        print(f"merge_layer={ml} detok_patch={dp}: {v:.1f} img/s "
-              f"({v / base:.2f}x)", file=sys.stderr)
-        _record(v, ml, base, detok_patch=dp)
+        print(f"merge_layer={ml} detok_patch={dp} detok_depth={dd}: "
+              f"{v:.1f} img/s ({v / base:.2f}x)", file=sys.stderr)
+        _record(v, ml, base, detok_patch=dp, detok_depth=dd)
 
 
 if __name__ == "__main__":

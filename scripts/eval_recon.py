@@ -49,6 +49,9 @@ def main():
     p.add_argument("--detok-patch", type=int, default=None,
                    help="detokenizer patch size — MUST match the trained "
                         "run's (see train_setok.py --detok-patch)")
+    p.add_argument("--detok-depth", type=int, default=None,
+                   help="pixel-decoder depth — MUST match the trained "
+                        "run's (see train_setok.py --detok-depth)")
     p.add_argument("--cluster-dist-norm", action="store_true",
                    help="scale-invariant DPC-KNN (ops/clustering.py "
                         "dist_norm): --threshold then reads in units of the "
@@ -120,6 +123,8 @@ def main():
             raise SystemExit(f"--detok-patch {args.detok_patch} must divide "
                              f"image size {det_cfg.image_size}")
         det_cfg = cfgs.replace(det_cfg, patch_size=args.detok_patch)
+    if args.detok_depth is not None:
+        det_cfg = cfgs.replace(det_cfg, decoder_depth=args.detok_depth)
     kw = {}
     if args.precision == "bf16":
         kw = dict(dtype=jnp.bfloat16)
@@ -212,6 +217,7 @@ def main():
                 "stage1_dir": args.stage1_dir,
                 "merge_layer": args.merge_layer,
                 "detok_patch": args.detok_patch,
+                "detok_depth": args.detok_depth,
                 "threshold": args.threshold, "eval_seed": args.eval_seed,
                 "cluster_dist_norm": args.cluster_dist_norm,
                 # resolved (post-clamp) clustering knobs: regime-defining

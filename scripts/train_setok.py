@@ -62,6 +62,14 @@ def parse_args():
                    help="2x2 token merge after this ViT block (smaller-N "
                         "variant; PERF.md 'token-merge'). Cluster knobs are "
                         "clamped to the merged patch count")
+    p.add_argument("--detok-depth", type=int, default=None,
+                   help="pixel-decoder depth (default 16). Halving it "
+                        "roughly halves the detokenize residual that bounds "
+                        "the merge recipe's ceiling (PERF.md component "
+                        "split) WITHOUT coarsening the query grid — unlike "
+                        "--detok-patch, whose >16 values train into a "
+                        "degenerate constant-token basin under the "
+                        "synthetic recipe. Variant trains its own ckpt")
     p.add_argument("--disc-start", type=int, default=5000)
     p.add_argument("--lpips", action="store_true",
                    help="enable the LPIPS perceptual term (VGG16 weights "
@@ -158,6 +166,10 @@ def main():
             raise SystemExit(f"--detok-patch {args.detok_patch} must divide "
                              f"--image-size {args.image_size}")
         det_cfg = cfgs.replace(det_cfg, patch_size=args.detok_patch)
+    if args.detok_depth is not None:
+        if args.detok_depth < 1:
+            raise SystemExit("--detok-depth must be >= 1")
+        det_cfg = cfgs.replace(det_cfg, decoder_depth=args.detok_depth)
 
     train_cfg = cfgs.TrainConfig(learning_rate=args.learning_rate,
                                  max_grad_norm=args.max_grad_norm,

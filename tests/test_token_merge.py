@@ -156,6 +156,54 @@ def test_detok_patch_variant_shapes():
     assert out2.hidden.shape[1] == out.hidden.shape[1] // 4
 
 
+def test_detok_depth_variant_shapes_and_train_step():
+    """--detok-depth D: shallower pixel decoder, SAME query grid — the
+    speed lever that stays inside the quality-proven patch-16 decode
+    geometry (the detok_patch>16 family trains into a constant-token
+    basin; PERF.md round-5 quality program)."""
+    from setok_tpu.models.detokenizer import SetokDeTokenizer
+    from setok_tpu.models.setok import SeTok
+    from setok_tpu.train.stage1 import Stage1Trainer
+    import numpy as np
+
+    det = dataclasses.replace(cfgs.tiny_detokenizer(), decoder_depth=1)
+    m = SetokDeTokenizer(det)
+    toks = jax.random.normal(jax.random.PRNGKey(0),
+                             (2, 5, det.token_feat_dim))
+    out = m.apply(m.init(jax.random.PRNGKey(1), toks), toks)
+    assert out.image.shape == (2, det.image_size, det.image_size, 3)
+    # query grid unchanged vs the full-depth decoder
+    assert out.hidden.shape == (2, det.grid ** 2, det.decoder_embed_dim)
+    # fewer decoder params than full depth (tiny default is depth 2)
+    full = SetokDeTokenizer(cfgs.tiny_detokenizer())
+    n_shallow = sum(x.size for x in jax.tree.leaves(
+        m.init(jax.random.PRNGKey(1), toks)))
+    n_full = sum(x.size for x in jax.tree.leaves(
+        full.init(jax.random.PRNGKey(1), toks)))
+    assert n_shallow < n_full
+
+    # merge1 + shallow decoder trains one stage-1 step (shipping recipe)
+    tc = cfgs.tiny_tokenizer()
+    vit = dataclasses.replace(tc.vit, merge_layer=0)
+    n_out = vit.num_output_patches
+    tc = dataclasses.replace(tc, vit=vit, k_max=min(tc.k_max, n_out),
+                             knn=min(tc.knn, n_out),
+                             min_cluster_num=min(tc.min_cluster_num, n_out))
+    model = SeTok(tc, det)
+    size = tc.vit.image_size
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, size, size, 3),
+                              jnp.float32, -1.0, 1.0)
+    o = model.apply(model.init(jax.random.PRNGKey(1), imgs), imgs)
+    assert o.recon.shape == (2, size, size, 3)
+    trainer = Stage1Trainer(tc, det,
+                            train_cfg=cfgs.TrainConfig(batch_size=2,
+                                                       warmup_steps=0))
+    batch = {"comp_image": imgs, "gen_image": imgs}
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_setok_merge_plus_detok_patch_end_to_end():
     """The combined fast recipe (merge_layer + coarse detok patch) runs as
     one SeTok forward and a stage-1 train step."""
