@@ -40,6 +40,9 @@ def main():
     p.add_argument("--stage1-dir", required=True)
     p.add_argument("--merge-layer", type=int, default=None)
     p.add_argument("--detok-patch", type=int, default=None)
+    p.add_argument("--detok-depth", type=int, default=None,
+                   help="pixel-decoder depth — MUST match the trained "
+                        "run's (see train_setok.py --detok-depth)")
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--eval-seed", type=int, default=10_000)
@@ -71,6 +74,8 @@ def main():
     tok_cfg = cfgs.replace(tok_cfg, **overrides)
     if args.detok_patch is not None:
         det_cfg = cfgs.replace(det_cfg, patch_size=args.detok_patch)
+    if args.detok_depth is not None:
+        det_cfg = cfgs.replace(det_cfg, decoder_depth=args.detok_depth)
     model = SeTok(tok_cfg, det_cfg)
     size = tok_cfg.vit.image_size
 
@@ -134,7 +139,8 @@ def main():
                "threshold": thr, "dist_norm": True,
                "stage1_dir": args.stage1_dir,
                "merge_layer": args.merge_layer,
-               "detok_patch": args.detok_patch, "n": args.n,
+               "detok_patch": args.detok_patch,
+               "detok_depth": args.detok_depth, "n": args.n,
                "eval_seed": args.eval_seed, **r,
                "git": git, "time": time.time()}
         rows.append(row)
