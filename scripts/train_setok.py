@@ -195,6 +195,16 @@ def main():
         if args.synthetic_structured:
             from setok_tpu.utils.synthetic import structured_images
             pool = structured_images(n, args.image_size, seed=args.seed)
+        # ONE fixed "caption" embedding PER IMAGE (a frozen table), so the
+        # contrastive task is learnable (memorize image→embedding). The
+        # pre-r5 harness drew text_emb from the BATCH seed — the same image
+        # got fresh noise every step, making InfoNCE (weight 1.0) an
+        # unlearnable target whose optimum is image-INDEPENDENT tokens:
+        # measured as the dominant constant-token attractor (6/8 collapsed
+        # runs, PERF.md round-5 quality program). Images are data; captions
+        # must be a function of the image, exactly like the real pipeline.
+        temb = np.random.RandomState(args.seed + 1).randn(
+            n, tok_cfg.token_feat_dim).astype(np.float32)
 
         def batches():
             while True:
@@ -203,15 +213,18 @@ def main():
                 if pool is not None:
                     pick = rs.randint(0, n, size=args.batch_size)
                     img = pool[pick]
+                    te = temb[pick]
                 else:
                     img = (r.rand(args.batch_size, args.image_size,
                                   args.image_size, 3) * 2
                            - 1).astype(np.float32)
+                    # noise images are keyed by (idx, position): keep the
+                    # matching per-draw embedding stream (legacy path)
+                    te = r.randn(args.batch_size,
+                                 tok_cfg.token_feat_dim).astype(np.float32)
                 yield {"comp_image": img,
                        "gen_image": img,
-                       "text_emb": r.randn(args.batch_size,
-                                           tok_cfg.token_feat_dim)
-                       .astype(np.float32)}
+                       "text_emb": te}
         host_batches = batches()
     else:
         from setok_tpu.data.collator import Collator
