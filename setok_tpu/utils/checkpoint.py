@@ -105,8 +105,16 @@ class CheckpointRunner:
 
     # ------------------------------------------------------------------
     def save(self, step: int, state: Any, force: bool = False) -> None:
-        """Non-blocking save (async commit)."""
-        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        """Non-blocking save (async commit). Idempotent per step: when a
+        preemption save races the periodic save of the SAME step (SIGTERM
+        lands right as `(step+1) % every == 0` fires), the state for that
+        step is already durable/in-flight — treat the collision as success
+        instead of dying on orbax's StepAlreadyExistsError mid-preemption."""
+        try:
+            self._mgr.save(step, args=ocp.args.StandardSave(state),
+                           force=force)
+        except ocp.checkpoint_manager.StepAlreadyExistsError:
+            pass
 
     def save_every(self, step: int, state: Any, every: int) -> bool:
         if every > 0 and (step + 1) % every == 0:

@@ -100,6 +100,9 @@ def test_checkpoint_runner_async_and_preemption(tmp_path):
     assert runner.preempted(1)
     state2 = {"step": jnp.asarray(7), "w": jnp.arange(8.0) * 2}
     runner.save(2, state2, force=True)
+    # preemption save racing the periodic save of the SAME step (the q5e
+    # StepAlreadyExistsError crash, train_setok.py:300-306): idempotent
+    runner.save(2, state2, force=True)
     runner.close()
 
     r2 = CheckpointRunner(str(tmp_path / "ckpt"),
